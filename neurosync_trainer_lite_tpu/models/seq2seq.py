@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from neurosync_trainer_lite_tpu.config import Config
-from neurosync_trainer_lite_tpu.models.rope import rope_embed
+from neurosync_trainer_lite_tpu.ops.rope import rope_embed
 from neurosync_trainer_lite_tpu.ops.attention import (
     _linear,
     dropout,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from neurosync_trainer_lite_tpu.models.rope import rope_qk
+from neurosync_trainer_lite_tpu.ops.rope import rope_qk
 
 
 def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:

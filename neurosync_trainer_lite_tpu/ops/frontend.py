@@ -1,0 +1,203 @@
+"""Device-side (JAX/TPU) batched audio feature frontend.
+
+The TPU-native production path for the feature math defined in
+ops/frontend_np.py (which is itself the re-derivation of what the reference
+gets from librosa — reference: utils/audio/extraction/*). Numerically matches
+the numpy twin to fp32 tolerance (tested in tests/test_frontend.py).
+
+TPU-first design (not a translation):
+- The STFT is GEMM-native: frames × precomputed rDFT cos/sin matrices run on
+  the MXU instead of a non-power-of-two FFT (n_fft=1470), following the
+  NDFT-as-matmul idea (PAPERS.md: MelT). mel projection and DCT-II are further
+  matmuls, so STFT→mel→MFCC is one fused matmul chain for XLA.
+- Framing uses a reshape/stack trick (hop == frame_length//2 exactly), so no
+  gather is needed: frame t = [block t, block t+1] of 735-sample blocks.
+- The autocorrelation replaces the reference's per-frame Python np.correlate
+  loop (extract_features_utils.py:83-92) with one batched power-of-two
+  rFFT/irFFT (lags via Wiener–Khinchin), or a GEMM-native DFT fallback.
+- Savitzky-Golay deltas are a depthwise VALID convolution plus two tiny edge
+  matmuls (the exact linear operator scipy's mode='interp' applies).
+
+Everything is jit-compiled per input length; lengths are cached by jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import factorial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.ops import frontend_np as F
+
+# ---------------------------------------------------------------------------
+# host-precomputed constants
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _rdft_matrices(n_fft: int):
+    """Real-DFT as two matrices [n_fft, 1+n_fft//2] (cos, -sin)."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return (np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _mfcc_constants(sr: int, n_fft: int, n_mels: int, n_mfcc: int):
+    return (
+        F.hann_periodic(n_fft).astype(np.float32),
+        F.mel_filterbank(sr, n_fft, n_mels).astype(np.float32).T,   # [736, 128]
+        F.dct_ii_ortho_matrix(n_mfcc, n_mels).astype(np.float32).T,  # [128, 23]
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _savgol_constants(width: int, order: int):
+    """(reversed interior conv kernel, left edge matrix, right edge matrix)."""
+    from scipy.signal import savgol_coeffs
+
+    kernel = savgol_coeffs(width, polyorder=order, deriv=order, delta=1.0)[::-1]
+    V = np.vander(np.arange(width), order + 1, increasing=True)
+    pinv = np.linalg.pinv(V)
+
+    def deriv_row(t):
+        # d-th derivative of the LSQ polynomial fit, evaluated at position t,
+        # as a linear functional of the window samples (scipy mode='interp').
+        d = order
+        row = np.zeros(width)
+        for j in range(d, order + 1):
+            row += factorial(j) / factorial(j - d) * t ** (j - d) * pinv[j]
+        return row
+
+    half = width // 2
+    left = np.array([deriv_row(t) for t in range(half)])
+    right = np.array([deriv_row(t) for t in range(width - half, width)])
+    return (kernel.astype(np.float32).copy(),
+            left.astype(np.float32), right.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _frame_half_overlap(y: jnp.ndarray, frame_length: int) -> jnp.ndarray:
+    """Frame with hop = frame_length//2 via block reshape: [T, frame_length].
+
+    y must already be padded; trailing samples that don't fill a block are
+    dropped exactly like strided framing would.
+    """
+    hop = frame_length // 2
+    n_blocks = y.shape[0] // hop
+    blocks = y[: n_blocks * hop].reshape(n_blocks, hop)
+    return jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+
+
+def _savgol_delta(x: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
+    """Savitzky-Golay derivative along time. x: [C, T] → [C, T]."""
+    kernel, left, right = _savgol_constants(width, order)
+    half = width // 2
+    # interior: depthwise VALID correlation (XLA conv is cross-correlation)
+    interior = jax.lax.conv_general_dilated(
+        x[:, None, :],                         # [C, 1, T]
+        jnp.asarray(kernel)[None, None, :],    # [1, 1, w]
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]                                  # [C, T-w+1]
+    first = x[:, :width] @ jnp.asarray(left).T   # [C, half]
+    last = x[:, -width:] @ jnp.asarray(right).T  # [C, half]
+    return jnp.concatenate([first, interior, last], axis=1)
+
+
+def _reduce_features(x: jnp.ndarray) -> jnp.ndarray:
+    """Pair-average over time (120→60 fps), keep odd tail. x: [C, T]."""
+    T = x.shape[1]
+    reduced = x[:, : T // 2 * 2].reshape(x.shape[0], -1, 2).mean(axis=2)
+    if T % 2 == 1:
+        reduced = jnp.concatenate([reduced, x[:, -1:]], axis=1)
+    return reduced
+
+
+def _mfcc_69(y: jnp.ndarray, sr: int, frame_length: int) -> jnp.ndarray:
+    """[T60, 69]: CMVN MFCC(23) + delta + delta² at 60 fps."""
+    win, mel_T, dct_T = _mfcc_constants(sr, frame_length, 128, 23)
+    cos_m, msin_m = _rdft_matrices(frame_length)
+
+    y_pad = jnp.pad(y, frame_length // 2, mode="constant")
+    frames = _frame_half_overlap(y_pad, frame_length) * jnp.asarray(win)
+
+    # GEMM-native power spectrum on the MXU
+    re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(msin_m), preferred_element_type=jnp.float32)
+    power = re * re + im * im                           # [T, 736]
+
+    mel = jnp.dot(power, jnp.asarray(mel_T),
+                  preferred_element_type=jnp.float32)   # [T, 128]
+    mel_db = 10.0 * jnp.log10(jnp.maximum(1e-10, mel))
+    mel_db = jnp.maximum(mel_db, jnp.max(mel_db) - 80.0)  # top_db, global max
+
+    mfcc = jnp.dot(mel_db, jnp.asarray(dct_T),
+                   preferred_element_type=jnp.float32).T  # [23, T]
+
+    mean = jnp.mean(mfcc, axis=1, keepdims=True)
+    std = jnp.std(mfcc, axis=1, keepdims=True)
+    mfcc = (mfcc - mean) / (std + 1e-10)
+
+    stacked = jnp.concatenate(
+        [mfcc, _savgol_delta(mfcc, 9, 1), _savgol_delta(mfcc, 9, 2)], axis=0)
+    return _reduce_features(stacked).T
+
+
+def _autocorr_187(y: jnp.ndarray, frame_length: int,
+                  num_coeff: int = 187) -> jnp.ndarray:
+    """[T60, 187]: zero-lag-normalized autocorrelation lags 1..187."""
+    y_pad = jnp.pad(y, frame_length // 2, mode="reflect")
+    frames = _frame_half_overlap(y_pad, frame_length)
+    frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    frames = frames * jnp.asarray(
+        F.hann_symmetric(frame_length).astype(np.float32))
+
+    nfft = 1
+    while nfft < 2 * frame_length - 1:
+        nfft *= 2
+    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
+    ac = jnp.fft.irfft(jnp.abs(spec) ** 2, n=nfft, axis=-1)[:, : num_coeff + 1]
+    ac = ac.astype(jnp.float32)
+
+    r0 = ac[:, :1]
+    ac = jnp.where(r0 != 0, ac / jnp.where(r0 == 0, 1.0, r0), ac)
+    ac = ac[:, 1:]                                       # [T, 187]
+
+    # near-zero edge-frame fix (reference: extract_features_utils.py:105-113)
+    first_dead = jnp.all(jnp.abs(ac[0]) < 1e-7)
+    last_dead = jnp.all(jnp.abs(ac[-1]) < 1e-7)
+    ac = ac.at[0].set(jnp.where(first_dead, ac[1], ac[0]))
+    ac = ac.at[-1].set(jnp.where(last_dead, ac[-2], ac[-1]))
+
+    return _reduce_features(ac.T).T
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _extract_jit(y: jnp.ndarray, sr: int) -> jnp.ndarray:
+    frame_length = int(0.01667 * sr)
+    return jnp.concatenate(
+        [_mfcc_69(y, sr, frame_length), _autocorr_187(y, frame_length)], axis=1)
+
+
+def extract_audio_features_jax(y, sr: int = 88200):
+    """y (mono float array) → (features[T60, 256], y), or (None, None) if the
+    clip is shorter than 9 intermediate frames (reference: extract_features.py:14-20).
+
+    Compiled per distinct input length (cached by jit).
+    """
+    y = jnp.asarray(y, jnp.float32)
+    frame_length = int(0.01667 * sr)
+    hop = frame_length // 2
+    num_frames = (y.shape[0] - frame_length) // hop + 1
+    if num_frames < F.MIN_FRAMES:
+        return None, None
+    return np.asarray(_extract_jit(y, sr)), y
