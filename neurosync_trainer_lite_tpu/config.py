@@ -26,7 +26,7 @@ def _resolve_ffmpeg() -> str:
     return shutil.which("ffmpeg") or "ffmpeg"
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     # --- run mode -----------------------------------------------------------
     mode: str = "scratch"            # 'scratch' or 'resume'

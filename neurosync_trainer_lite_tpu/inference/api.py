@@ -1,0 +1,38 @@
+"""Bytes-in serving API.
+
+Matches the reference's API-facing generator (reference:
+utils/generate_face_shapes.py:8-26). Note: the reference calls
+process_audio_features without its required ``config`` argument
+(generate_face_shapes.py:15 — a latent bug that only works against the
+separate NeuroSync_Local_API signature); here the config is threaded through
+properly while keeping the same external behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
+from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
+
+
+def smooth_by_averaging_pairs(data: np.ndarray) -> np.ndarray:
+    """(reference: generate_face_shapes.py:22-26), vectorized."""
+    smoothed = data.copy()
+    smoothed[:-1] = (data[:-1] + data[1:]) / 2.0
+    return smoothed
+
+
+def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
+                                    use_smoothing: bool = False):
+    """wav/audio bytes → [T, 61] blendshape frames at 60 fps."""
+    audio_features, y = extract_audio_features(
+        audio_bytes, sr=cfg.sr, from_bytes=True)
+    if audio_features is None or y is None:
+        return [], np.array([])
+
+    final = process_audio_features(np.asarray(audio_features), params, cfg)
+    if use_smoothing:
+        final = smooth_by_averaging_pairs(final)
+    return final

@@ -1,0 +1,140 @@
+"""Chunked long-audio inference with overlap blending.
+
+Semantics match the reference exactly (reference:
+utils/audio/processing/audio_processing.py:50-112): 128-frame chunks at
+stride (frame_size - overlap), reflect-padding of short chunks (:14-23),
+linear cross-fade of the trailing `overlap` frames between consecutive chunks
+(:33-48), a tail fix-up pass so the output frame count matches the input
+(:86-93), and the ÷100 output rescale (:102).
+
+TPU-first design: the reference decodes chunks one-by-one through the model
+with a host↔device round trip per chunk (:62-83). Chunk decodes are
+independent (the blend is a post-hoc host op), so here ALL chunks are stacked
+into one batch and decoded in a single jitted forward — one device call per
+clip instead of one per chunk. Batch sizes are bucketed to powers of two to
+bound recompilation; extra rows are discarded. The serial blend then runs on
+host in vectorized numpy, reproducing the reference's order-dependent
+accumulation bit-for-bit (tested against a literal serial oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
+
+
+def pad_audio_chunk(audio_chunk: np.ndarray, frame_length: int,
+                    num_features: int) -> np.ndarray:
+    """Append reflect-padding to reach frame_length rows
+    (reference: audio_processing.py:14-23)."""
+    if audio_chunk.shape[0] < frame_length:
+        pad_length = frame_length - audio_chunk.shape[0]
+        padding = np.pad(audio_chunk, ((0, pad_length), (0, 0)), mode="reflect")
+        audio_chunk = np.vstack((audio_chunk, padding[-pad_length:, :num_features]))
+    return audio_chunk
+
+
+def blend_chunks(chunk1: np.ndarray, chunk2: np.ndarray,
+                 overlap: int) -> np.ndarray:
+    """Linear cross-fade of the overlapping region
+    (reference: audio_processing.py:33-48), vectorized."""
+    actual_overlap = min(overlap, len(chunk1), len(chunk2))
+    if actual_overlap == 0:
+        return np.vstack((chunk1, chunk2))
+    blended = np.copy(chunk1)
+    alpha = (np.arange(actual_overlap) / actual_overlap)[:, None]
+    blended[-actual_overlap:] = (
+        (1 - alpha) * chunk1[-actual_overlap:] + alpha * chunk2[:actual_overlap])
+    return np.vstack((blended, chunk2[actual_overlap:]))
+
+
+@functools.lru_cache(maxsize=8)
+def _decode_fn(cfg: Config):
+    """Jitted batched encoder→decoder forward (dropout off)."""
+
+    @jax.jit
+    def decode(params, chunks):  # chunks: [N, frame_size, input_dim]
+        return seq2seq_apply(params, chunks, cfg)
+
+    return decode
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def decode_chunks_batched(params, chunks: np.ndarray, cfg: Config) -> np.ndarray:
+    """[N, frame_size, input_dim] → [N, frame_size, output_dim] in one device call."""
+    n = chunks.shape[0]
+    bucket = _bucket(n)
+    if bucket != n:
+        chunks = np.concatenate(
+            [chunks, np.zeros((bucket - n, *chunks.shape[1:]), chunks.dtype)])
+    out = _decode_fn(cfg)(params, jnp.asarray(chunks))
+    return np.asarray(out[:n], dtype=np.float64)
+
+
+def _chunk_starts(num_frames: int, frame_length: int, overlap: int):
+    starts, start = [], 0
+    while start < num_frames:
+        starts.append(start)
+        start += frame_length - overlap
+    return starts
+
+
+def process_audio_features(audio_features: np.ndarray, params, cfg: Config,
+                           *, decode_batched=decode_chunks_batched) -> np.ndarray:
+    """features [T, input_dim] → blendshapes [T, output_dim]
+    (reference: audio_processing.py:50-112)."""
+    frame_length = cfg.frame_size
+    overlap = cfg.overlap
+    num_features = audio_features.shape[1]
+    num_frames = audio_features.shape[0]
+
+    starts = _chunk_starts(num_frames, frame_length, overlap)
+    lengths = [min(s + frame_length, num_frames) - s for s in starts]
+
+    # simulate the reference's accumulated length (each chunk after the first
+    # loses min(overlap, acc, chunk) frames to blending) to decide whether the
+    # tail fix-up pass decodes one extra chunk (reference: :86-93)
+    acc_len = lengths[0] if lengths else 0
+    for L in lengths[1:]:
+        acc_len += L - min(overlap, acc_len, L)
+    remaining = num_frames - acc_len
+    tail_needed = remaining > 0
+
+    chunk_list = [
+        pad_audio_chunk(audio_features[s: s + frame_length], frame_length,
+                        num_features)
+        for s in starts
+    ]
+    if tail_needed:
+        chunk_list.append(
+            pad_audio_chunk(audio_features[num_frames - remaining: num_frames],
+                            frame_length, num_features))
+
+    decoded = decode_batched(
+        params, np.asarray(chunk_list, dtype=np.float32), cfg)
+
+    # serial overlap blend, exactly as the reference accumulates it
+    acc = decoded[0][: lengths[0]]
+    for i in range(1, len(starts)):
+        acc = blend_chunks(acc, decoded[i][: lengths[i]], overlap)
+    outputs = [acc]
+    if tail_needed:
+        outputs.append(decoded[-1][:remaining])
+
+    final = np.concatenate(outputs, axis=0)[:num_frames]
+    if final.ndim == 3:
+        final = final.reshape(-1, final.shape[-1])
+    final[:, :61] /= 100  # back to LiveLink space (reference: :102)
+    return final

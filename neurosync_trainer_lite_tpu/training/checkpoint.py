@@ -1,0 +1,106 @@
+"""Checkpoint/resume with rotating backups, plus reference-format export.
+
+Matches the reference's checkpoint semantics (reference:
+utils/checkpoint_utils.py:10-51): one bundle of {model, optimizer state,
+epoch, batch_step, config}; on every save the previous checkpoint moves into
+a timestamped ``backup_YYYYmmdd_HHMMSS`` directory and only the 5 newest
+backups are kept; a bare weights-only ``model.pth`` (torch state dict — the
+interchange format with the NeuroSync API/Player) is also written each epoch.
+
+Storage is Orbax (async-capable, sharding-aware); metadata rides in a JSON
+sidecar. Restore rebuilds the exact optax state structure from an abstract
+template, so the LR schedule and Adam moments continue bit-exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from datetime import datetime
+
+import jax
+import orbax.checkpoint as ocp
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.training.step import TrainState, init_train_state
+
+_STATE_SUBDIR = "state"
+_META_FILE = "meta.json"
+_KEEP_BACKUPS = 5
+
+
+def _rotate_backups(checkpoint_path: str) -> None:
+    """Move an existing checkpoint into backup_<ts>/ and prune to 5
+    (reference: checkpoint_utils.py:22-36)."""
+    if not os.path.exists(checkpoint_path):
+        return
+    parent = os.path.dirname(checkpoint_path) or "."
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    backup_dir = os.path.join(parent, f"backup_{timestamp}")
+    while os.path.exists(backup_dir):  # same-second saves (tests)
+        timestamp += "x"
+        backup_dir = os.path.join(parent, f"backup_{timestamp}")
+    os.makedirs(backup_dir)
+    shutil.move(checkpoint_path,
+                os.path.join(backup_dir, os.path.basename(checkpoint_path)))
+
+    backups = sorted(
+        (d for d in os.listdir(parent) if d.startswith("backup_")),
+        key=lambda d: os.path.getmtime(os.path.join(parent, d)),
+        reverse=True,
+    )
+    for old in backups[_KEEP_BACKUPS:]:
+        shutil.rmtree(os.path.join(parent, old))
+
+
+def save_checkpoint(state: TrainState, epoch: int, batch_step: int,
+                    cfg: Config, checkpoint_path: str | None = None) -> None:
+    path = os.path.abspath(checkpoint_path or cfg.checkpoint_path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _rotate_backups(path)
+
+    os.makedirs(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, _STATE_SUBDIR), state)
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"epoch": epoch, "batch_step": batch_step,
+                   "config": cfg.to_dict()}, f, indent=2)
+
+
+def load_checkpoint(checkpoint_path: str, cfg: Config, steps_per_epoch: int,
+                    shardings=None):
+    """Returns (epoch, batch_step, TrainState)."""
+    path = os.path.abspath(checkpoint_path)
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+
+    template, _ = init_train_state(cfg, steps_per_epoch,
+                                   rng=jax.random.PRNGKey(0))
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    if shardings is not None:
+        abstract = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s)
+            if hasattr(a, "shape") else a,
+            abstract, shardings)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(path, _STATE_SUBDIR), abstract)
+    return meta["epoch"], meta["batch_step"], TrainState(*state)
+
+
+def save_final_model(params, cfg: Config, final_model_path: str | None = None) -> None:
+    """Weights-only export in the reference's model.pth format
+    (reference: model_utils.py:46-49)."""
+    from neurosync_trainer_lite_tpu.utils.torch_interop import save_torch_model
+
+    path = final_model_path or cfg.model_path
+    save_torch_model(params, cfg, path)
+    print(f"Final model saved to {path}")
+
+
+def load_model(model_path: str, cfg: Config):
+    """Load a reference-format model.pth into a params pytree
+    (reference: model_utils.py:29-44)."""
+    from neurosync_trainer_lite_tpu.utils.torch_interop import load_torch_model
+
+    return load_torch_model(model_path, cfg)

@@ -1,0 +1,187 @@
+"""The training driver.
+
+Replaces the reference's train.py / training_utils.py orchestration with a
+single code path for any device count: the per-step work is one compiled
+function (training/step.py); 'multi-GPU' is just a larger mesh
+(reference: train.py:12-58, training_utils.py:10-303).
+
+Per-epoch behavior matches the reference:
+- interleaved validation every `validation_interval` train steps
+  (training_utils.py:95-113)
+- per-epoch loss + gradient-norm plots (training_utils.py:120-127)
+- per-epoch checkpoint with backup rotation, weights-only model.pth export,
+  and fixed-wav validation artifacts (checkpoint_utils.py:53-57)
+- LR schedule stepped per epoch (train.py:54)
+
+TPU-specific: losses/grad-norms stay on device during the epoch (no per-step
+host sync); progress prints force a sync only every `validation_interval`
+steps. Batches are host-sharded over the 'data' mesh axis before dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.models.seq2seq import count_parameters
+from neurosync_trainer_lite_tpu.parallel.mesh import batch_sharding, make_mesh
+from neurosync_trainer_lite_tpu.training.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    save_final_model,
+)
+from neurosync_trainer_lite_tpu.training.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+    shard_state,
+)
+from neurosync_trainer_lite_tpu.training.validation import (
+    generate_and_save_facial_data,
+)
+from neurosync_trainer_lite_tpu.utils.plots import (
+    save_gradient_norm_plot,
+    save_loss_plot,
+)
+
+
+def _epoch_artifacts(epoch, train_steps, train_losses, val_steps, val_losses,
+                     gradient_norms, plots_dir):
+    save_loss_plot(epoch, train_steps, train_losses, val_steps, val_losses,
+                   save_dir=os.path.join(plots_dir, "loss"))
+    save_gradient_norm_plot(
+        epoch, gradient_norms,
+        save_dir=os.path.join(plots_dir, "gradient_norms"))
+
+
+def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
+                    train_step, eval_step, *, batch_step=0, mesh=None,
+                    plots_dir=None, verbose=True):
+    """Returns (state, batch_step, mean_epoch_loss)."""
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    base_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    train_losses, train_steps = [], []
+    val_losses, val_steps = [], []
+    gradient_norms = []
+    start_time = time.time()
+
+    val_iter = None
+    if val_view is not None and len(val_view) > 0:
+        val_iter = val_view.batches(cfg.batch_size, wrap=True)
+
+    def next_val_batch():
+        nonlocal val_iter
+        try:
+            return next(val_iter)
+        except StopIteration:
+            val_iter = val_view.batches(cfg.batch_size, wrap=True)
+            return next(val_iter)
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return x
+
+    n_batches = 0
+    for batch_idx, (src, trg) in enumerate(
+            train_view.batches(cfg.batch_size, shuffle=True,
+                               seed=cfg.seed + epoch, drop_last=True)):
+        rng = jax.random.fold_in(base_key, batch_step)
+        state, loss, grad_norm = train_step(state, put(src), put(trg), rng)
+
+        train_steps.append(batch_step)
+        train_losses.append(loss)          # device scalar; fetched at epoch end
+        gradient_norms.append(grad_norm)
+        batch_step += 1
+        n_batches += 1
+
+        if val_iter is not None and batch_idx % cfg.validation_interval == 0:
+            vsrc, vtrg = next_val_batch()
+            vloss = eval_step(state.params, put(vsrc), put(vtrg))
+            val_steps.append(batch_step)
+            val_losses.append(vloss)
+            if verbose:
+                print(f"[Epoch {epoch} - Batch {batch_idx}] "
+                      f"Validation Loss: {float(vloss):.4f} | "
+                      f"Train Loss: {float(loss):.4f} | "
+                      f"Grad Norm: {float(grad_norm):.4f}")
+
+    # one host sync for the whole epoch's metrics
+    train_losses = [float(x) for x in train_losses]
+    val_losses = [float(x) for x in val_losses]
+    gradient_norms = [float(x) for x in gradient_norms]
+
+    epoch_time = time.time() - start_time
+    mean_loss = float(np.mean(train_losses)) if train_losses else float("nan")
+    if verbose:
+        print(f"Epoch [{epoch + 1}/{cfg.n_epochs}], Loss: {mean_loss:.4f}, "
+              f"Time: {epoch_time:.2f} seconds "
+              f"({n_batches * cfg.batch_size / max(epoch_time, 1e-9):.1f} samples/s)")
+
+    if plots_dir is not None:
+        _epoch_artifacts(epoch, train_steps, train_losses, val_steps,
+                         val_losses, gradient_norms, plots_dir)
+
+    return state, batch_step, mean_loss
+
+
+def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
+                save_artifacts=True):
+    """End-to-end training (reference: train.py:12-58 + __main__:61-104).
+
+    Returns (state, batch_step).
+    """
+    from neurosync_trainer_lite_tpu.data.windowing import prepare_datasets
+
+    _, train_view, val_view = prepare_datasets(cfg, clips)
+    steps_per_epoch = max(1, len(train_view) // cfg.batch_size)
+
+    if mesh is None and (cfg.tp > 1 or cfg.dp > 1 or
+                         (cfg.dp == -1 and len(jax.devices()) > 1)):
+        mesh = make_mesh(cfg)
+
+    state, tx = init_train_state(cfg, steps_per_epoch)
+    if verbose:
+        print(f"Total number of parameters: {count_parameters(state.params)}")
+        if mesh is not None:
+            print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    start_epoch, batch_step = 0, 0
+    if cfg.mode == "resume" and os.path.exists(cfg.checkpoint_path):
+        start_epoch, batch_step, state = load_checkpoint(
+            cfg.checkpoint_path, cfg, steps_per_epoch)
+        start_epoch += 1
+        if verbose:
+            print(f"Resumed from {cfg.checkpoint_path} at epoch {start_epoch}")
+
+    if mesh is not None:
+        state = shard_state(state, cfg, mesh, tx)
+
+    train_step = make_train_step(cfg, tx)
+    eval_step = make_eval_step(cfg)
+
+    for epoch in range(start_epoch, cfg.n_epochs):
+        state, batch_step, _ = train_one_epoch(
+            epoch, state, train_view, val_view, cfg, train_step, eval_step,
+            batch_step=batch_step, mesh=mesh,
+            plots_dir=cfg.plots_dir if save_artifacts else None,
+            verbose=verbose)
+
+        if save_artifacts:
+            save_checkpoint(state, epoch, batch_step, cfg)
+            save_final_model(state.params, cfg)
+            if os.path.exists(cfg.audio_path) and os.path.exists(
+                    cfg.ground_truth_path):
+                generate_and_save_facial_data(
+                    epoch, cfg.audio_path, state.params,
+                    cfg.ground_truth_path, cfg)
+
+    if save_artifacts:
+        save_final_model(state.params, cfg)
+    return state, batch_step

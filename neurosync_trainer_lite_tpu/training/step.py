@@ -1,0 +1,97 @@
+"""The compiled training/eval step.
+
+One jitted function replaces the reference's entire per-step Python choreography
+(reference: utils/training_utils.py:56-91 single-device and :176-274 multi-GPU
+— forward, backward, manual gradient unscale, cross-device grad averaging
+loop, clip, step, parameter re-broadcast): under pjit/GSPMD the batch is
+sharded over the 'data' mesh axis, the loss mean induces the gradient
+all-reduce over ICI, and the optimizer update runs sharded in the same
+program. bf16 mixed precision needs no GradScaler.
+
+The pre-clip global gradient norm is returned every step, matching the
+reference's calculate_gradient_norm logging (training_utils.py:72,349-357).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.models.loss import loss_fn
+from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq, seq2seq_apply
+from neurosync_trainer_lite_tpu.training.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+def init_train_state(cfg: Config, steps_per_epoch: int, *, rng=None,
+                     params=None) -> tuple[TrainState, optax.GradientTransformation]:
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        params = init_seq2seq(rng, cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState(params, tx.init(params)), tx
+
+
+def shard_state(state: TrainState, cfg: Config, mesh,
+                tx: optax.GradientTransformation) -> TrainState:
+    """Place a TrainState onto a mesh: params get the TP/replication rules,
+    optimizer state inherits the matching shardings (moments follow their
+    parameters, counters replicate) via a jitted tx.init template."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neurosync_trainer_lite_tpu.parallel.mesh import shard_params
+
+    params = shard_params(state.params, cfg, mesh)
+    template = jax.jit(tx.init)(params)
+    replicated = NamedSharding(mesh, P())
+
+    def place(t, v):
+        sh = t.sharding
+        # constants created inside tx.init (step counters) land on a single
+        # default device; everything must live on the mesh
+        if not (isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape):
+            sh = replicated
+        return jax.device_put(v, sh)
+
+    opt_state = jax.tree.map(place, template, state.opt_state)
+    return TrainState(params, opt_state)
+
+
+def _compute_loss(params, src, trg, cfg: Config, rng, train: bool):
+    pred = seq2seq_apply(params, src, cfg, rng=rng, train=train)
+    return loss_fn(
+        pred, trg, delta=cfg.delta, w1=cfg.w1, w2=cfg.w2, w3=cfg.w3,
+        zero_penalty_weight=cfg.zero_penalty_weight,
+    )
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation,
+                    *, donate: bool = True):
+    """Returns jitted (state, src, trg, rng) → (state, loss, grad_norm)."""
+
+    def step(state: TrainState, src, trg, rng):
+        loss, grads = jax.value_and_grad(_compute_loss)(
+            state.params, src, trg, cfg, rng, True)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), loss, grad_norm
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: Config):
+    """Returns jitted (params, src, trg) → loss (dropout off)."""
+
+    def step(params, src, trg):
+        return _compute_loss(params, src, trg, cfg, None, False)
+
+    return jax.jit(step)

@@ -1,0 +1,150 @@
+"""Training runtime: optimizer parity vs torch, schedule, train-step, DP."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neurosync_trainer_lite_tpu.config import Config, tiny_config
+from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+from neurosync_trainer_lite_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_params,
+)
+from neurosync_trainer_lite_tpu.training.optim import lr_factor, make_optimizer
+from neurosync_trainer_lite_tpu.training.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+TINY = Config(hidden_dim=32, n_layers=1, num_heads=2, input_dim=8,
+              output_dim=4, dropout=0.0, use_amp=False, batch_size=4,
+              n_epochs=10, learning_rate=1e-3)
+
+
+def test_lr_factor_matches_reference_lambda():
+    cfg = Config(n_epochs=50, warmup_epochs=0)
+    assert lr_factor(0, cfg) == 1.0
+    assert lr_factor(25, cfg) == 0.5
+    assert lr_factor(50, cfg) == 0.0
+    cfg = Config(n_epochs=10, warmup_epochs=3)
+    assert lr_factor(0, cfg) == 0.0
+    assert lr_factor(2, cfg) == pytest.approx(2 / 3)
+    assert lr_factor(3, cfg) == 1.0
+    assert lr_factor(7, cfg) == pytest.approx(3 / 7)
+
+
+def test_optimizer_matches_torch_adam():
+    """Our optax chain == torch Adam(weight_decay) + clip_grad_norm_, stepwise."""
+    cfg = Config(learning_rate=1e-3, weight_decay=1e-2, grad_clip=2.0,
+                 n_epochs=1000, warmup_epochs=0)
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((5, 3)).astype(np.float32)
+
+    # torch side
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=cfg.learning_rate,
+                           weight_decay=cfg.weight_decay)
+
+    # our side — huge n_epochs so the schedule factor ≈ 1 at step 0
+    tx = make_optimizer(cfg, steps_per_epoch=1_000_000)
+    wj = jnp.asarray(w0)
+    opt_state = tx.init(wj)
+
+    for i in range(5):
+        g = rng.standard_normal((5, 3)).astype(np.float32) * (3.0 if i == 2 else 0.5)
+
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([wt], cfg.grad_clip)
+        opt.step()
+
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, wj)
+        wj = optax.apply_updates(wj, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(wj), wt.detach().numpy(), atol=2e-5,
+            err_msg=f"diverged at step {i}")
+
+
+def test_train_step_overfits_tiny_batch():
+    cfg = TINY
+    state, tx = init_train_state(cfg, steps_per_epoch=100)
+    train_step = make_train_step(cfg, tx, donate=False)
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.standard_normal((4, 16, cfg.input_dim)), jnp.float32)
+    trg = jnp.asarray(rng.uniform(0, 1, (4, 16, cfg.output_dim)), jnp.float32)
+
+    losses = []
+    for i in range(60):
+        state, loss, gnorm = train_step(state, src, trg, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+        assert float(gnorm) >= 0
+    assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+def test_grad_norm_is_pre_clip():
+    """grad_norm metric must be the raw norm, not the clipped one."""
+    cfg = TINY.replace(learning_rate=0.0, grad_clip=1e-9)
+    state, tx = init_train_state(cfg, steps_per_epoch=100)
+    train_step = make_train_step(cfg, tx, donate=False)
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.standard_normal((2, 8, cfg.input_dim)), jnp.float32)
+    trg = jnp.asarray(10 + rng.standard_normal((2, 8, cfg.output_dim)), jnp.float32)
+    _, _, gnorm = train_step(state, src, trg, jax.random.PRNGKey(0))
+    assert float(gnorm) > 1e-6  # far above the clip threshold
+
+
+def test_data_parallel_matches_single_device():
+    """8-way DP on the CPU mesh produces the same loss/params trajectory."""
+    cfg = TINY.replace(batch_size=8, dp=8, tp=1)
+    mesh = make_mesh(cfg)
+
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((8, 16, cfg.input_dim)).astype(np.float32)
+    trg = rng.uniform(0, 1, (8, 16, cfg.output_dim)).astype(np.float32)
+
+    def run(sharded: bool):
+        state, tx = init_train_state(cfg, steps_per_epoch=10)
+        if sharded:
+            state = TrainState(shard_params(state.params, cfg, mesh),
+                               jax.device_put(state.opt_state))
+        train_step = make_train_step(cfg, tx, donate=False)
+        losses = []
+        for i in range(3):
+            s = jax.device_put(src, batch_sharding(mesh)) if sharded else jnp.asarray(src)
+            t = jax.device_put(trg, batch_sharding(mesh)) if sharded else jnp.asarray(trg)
+            state, loss, _ = train_step(state, s, t, jax.random.PRNGKey(7))
+            losses.append(float(loss))
+        return losses, state
+
+    losses_1, state_1 = run(False)
+    losses_8, state_8 = run(True)
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_1.params), jax.tree.leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tensor_parallel_forward_matches():
+    """2-way TP sharded forward == replicated forward."""
+    cfg = TINY.replace(dp=4, tp=2)
+    mesh = make_mesh(cfg)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    eval_step = make_eval_step(cfg)
+    rng = np.random.default_rng(4)
+    src = rng.standard_normal((8, 16, cfg.input_dim)).astype(np.float32)
+    trg = rng.uniform(0, 1, (8, 16, cfg.output_dim)).astype(np.float32)
+
+    loss_rep = float(eval_step(params, jnp.asarray(src), jnp.asarray(trg)))
+    sharded = shard_params(params, cfg, mesh)
+    loss_tp = float(eval_step(sharded,
+                              jax.device_put(src, batch_sharding(mesh)),
+                              jax.device_put(trg, batch_sharding(mesh))))
+    assert abs(loss_rep - loss_tp) < 1e-5
