@@ -1,0 +1,71 @@
+"""Headline benchmark: 228M-model training samples/sec on one chip.
+
+Measures the compiled bf16 training step (forward + backward + Adam update,
+global-norm clip 2.0) of the flagship 8-layer/16-head/hidden-1024 model at
+the reference's production geometry — batch 128 windows x 128 frames x 256
+features → 61 blendshapes (reference: config.py:30-35).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The comparison
+point used here is an estimate of the reference's single-process 4-GPU
+replicated-DP fp16 throughput on 24GB-class GPUs: ~175 GFLOP/sample
+(2*228e6*128 fwd, x3 fwd+bwd) against 4x ~165 TFLOP/s peak at a generous
+35% MFU, discounted ~40% for its serialized Python grad-averaging /
+param-broadcast loops (training_utils.py:229-257) => ~550 samples/s. The
+driver's north-star is >=4x that on a v5p-8; this script reports one chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.config import full_config
+from neurosync_trainer_lite_tpu.training.step import init_train_state, make_train_step
+
+REFERENCE_4GPU_SAMPLES_PER_SEC = 550.0
+
+
+def main():
+    # dropout off: bench the steady-state math. remat: the one real chip here
+    # is a 16GB v5e; per-layer rematerialisation keeps batch-128 resident
+    # (without it the bwd pass wants ~21GB of activations).
+    cfg = full_config(dropout=0.0, remat=True)
+    B, T = cfg.batch_size, cfg.micro_batch_size
+
+    state, tx = init_train_state(cfg, steps_per_epoch=100)
+    train_step = make_train_step(cfg, tx)
+
+    key = jax.random.PRNGKey(0)
+    src = jax.random.normal(key, (B, T, cfg.input_dim), jnp.float32)
+    trg = jax.random.normal(key, (B, T, cfg.output_dim), jnp.float32)
+
+    # Warmup / compile. The trailing float() fetch is the sync point —
+    # block_until_ready alone has proven unreliable through remote-execution
+    # tunnels (axon), returning before the step graph actually retires.
+    for i in range(3):
+        state, loss, gn = train_step(state, src, trg, jax.random.fold_in(key, i))
+    float(loss)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss, gn = train_step(state, src, trg, jax.random.fold_in(key, i))
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_steps * B / dt
+    print(json.dumps({
+        "metric": "228M_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,18 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.
     return jnp.mean(loss)
 
 
+def _cosine_similarity(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """torch F.cosine_similarity semantics (norms clamped to eps) over axis -1.
+
+    The sqrt is offset by a tiny constant so its *gradient* stays finite when a
+    frame-delta vector is exactly zero — jnp.linalg.norm would produce NaN
+    grads there (0/0), which poisons the whole backward pass on silent frames.
+    """
+    nx = jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-24)
+    ny = jnp.sqrt(jnp.sum(y * y, axis=-1) + 1e-24)
+    return jnp.sum(x * y, axis=-1) / (jnp.maximum(nx, eps) * jnp.maximum(ny, eps))
+
+
 def loss_fn(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
@@ -50,12 +62,7 @@ def loss_fn(
     target_diff = targets[:, 1:, :] - targets[:, :-1, :]
     temp_loss = jnp.mean(jnp.abs(pred_diff - target_diff))
 
-    eps = 1e-8
-    pred_norm = pred_diff / (
-        jnp.linalg.norm(pred_diff, axis=-1, keepdims=True) + eps)
-    target_norm = target_diff / (
-        jnp.linalg.norm(target_diff, axis=-1, keepdims=True) + eps)
-    cos_sim = jnp.sum(pred_norm * target_norm, axis=-1)
+    cos_sim = _cosine_similarity(pred_diff, target_diff)
     dir_loss = 1.0 - jnp.mean(cos_sim)
 
     total = w1 * rec_loss + w2 * temp_loss + w3 * dir_loss
