@@ -95,6 +95,9 @@ class Config:
     # --- TPU-specific ----------------------------------------------------------
     seed: int = 0
     remat: bool = False              # jax.checkpoint the encoder/decoder layers
+    remat_policy: str = "full"       # 'full' | 'dots' — 'dots' saves MXU
+                                     # results and recomputes only elementwise
+                                     # work (cheaper bwd than full remat)
     attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
 
     # ---------------------------------------------------------------------------

@@ -65,8 +65,22 @@ class WindowedDataset:
         w = self.window
         return self.audio[ci][s: s + w], self.facial[ci][s: s + w]
 
+    def _native_gather(self):
+        """Build (once) the C++ OpenMP batch assembler; None if unavailable."""
+        if not hasattr(self, "_native"):
+            try:
+                from neurosync_trainer_lite_tpu.data.native import NativeGather
+                self._native = NativeGather(self.audio, self.facial,
+                                            self.table, self.window)
+            except (RuntimeError, AssertionError, IndexError):
+                self._native = None
+        return self._native
+
     def gather(self, idxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Batch gather → (src[B,W,256], trg[B,W,61]) float32."""
+        native = self._native_gather()
+        if native is not None:
+            return native(np.asarray(idxs))
         w = self.window
         src = np.stack([self.audio[ci][s: s + w] for ci, s in self.table[idxs]])
         trg = np.stack([self.facial[ci][s: s + w] for ci, s in self.table[idxs]])
@@ -124,6 +138,37 @@ def _iterate(base: WindowedDataset, idxs: np.ndarray, batch_size: int, *,
         if drop_last and len(chunk) < batch_size:
             break
         yield base.gather(chunk)
+
+
+def prefetch(iterator, put=None, depth: int = 2):
+    """Run batch assembly (and optional host→device transfer) in a background
+    thread, `depth` batches ahead of the consumer — overlaps the native gather
+    + device_put with the device step (the reference's torch DataLoader
+    workers played this role; here one thread + the OpenMP gather suffice
+    since windows are index arithmetic, not per-example transforms).
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(tuple(put(x) for x in item) if put is not None else item)
+            q.put(sentinel)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def prepare_datasets(cfg: Config, clips=None):

@@ -135,11 +135,12 @@ def _split_or_none(rng, n):
     return list(jax.random.split(rng, n))
 
 
-def _encoder_layer(lp, x, rng, *, num_heads, rate, train):
+def _encoder_layer(lp, x, rng, *, num_heads, rate, train, impl="auto"):
     r_attn, r_d1, r_ffn, r_d2 = _split_or_none(rng, 4)
     a = multi_head_attention(
         lp["self_attn"], x, x, x,
         num_heads=num_heads, dropout_rate=rate, rng=r_attn, train=train,
+        impl=impl,
     )
     x = layer_norm(x + dropout(a, rate, r_d1, train), lp["norm1"])
     f = _ffn(lp["ffn"], x, rate=rate, rng=r_ffn, train=train)
@@ -147,21 +148,32 @@ def _encoder_layer(lp, x, rng, *, num_heads, rate, train):
     return x
 
 
-def _decoder_layer(lp, x, memory, rng, *, num_heads, rate, train):
+def _decoder_layer(lp, x, memory, rng, *, num_heads, rate, train, impl="auto"):
     r_self, r_d1, r_cross, r_d2, r_ffn, r_d3 = _split_or_none(rng, 6)
     a = multi_head_attention(
         lp["self_attn"], x, x, x,
         num_heads=num_heads, dropout_rate=rate, rng=r_self, train=train,
+        impl=impl,
     )
     x = layer_norm(x + dropout(a, rate, r_d1, train), lp["norm1"])
     c = multi_head_attention(
         lp["cross_attn"], x, memory, memory,
         num_heads=num_heads, dropout_rate=rate, rng=r_cross, train=train,
+        impl=impl,
     )
     x = layer_norm(x + dropout(c, rate, r_d2, train), lp["norm2"])
     f = _ffn(lp["ffn"], x, rate=rate, rng=r_ffn, train=train)
     x = layer_norm(x + dropout(f, rate, r_d3, train), lp["norm3"])
     return x
+
+
+def _maybe_remat(body, cfg: Config):
+    if not cfg.remat:
+        return body
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.checkpoint_dots)
+    return jax.checkpoint(body)
 
 
 def _layer_keys(rng, n_layers):
@@ -187,11 +199,11 @@ def encoder_apply(params, x, cfg: Config, *, rng=None, train: bool = False):
         out = _encoder_layer(
             lp, carry, key if do_train else None,
             num_heads=num_heads, rate=rate, train=do_train,
+            impl=cfg.attention_impl,
         )
         return out, None
 
-    if cfg.remat:
-        body = jax.checkpoint(body)
+    body = _maybe_remat(body, cfg)
     x, _ = jax.lax.scan(body, x, (params["layers"], keys))
     return layer_norm(x, params["norm"])
 
@@ -213,11 +225,11 @@ def decoder_apply(params, encoder_outputs, cfg: Config, *, rng=None, train: bool
         out = _decoder_layer(
             lp, carry, memory, key if do_train else None,
             num_heads=num_heads, rate=rate, train=do_train,
+            impl=cfg.attention_impl,
         )
         return out, None
 
-    if cfg.remat:
-        body = jax.checkpoint(body)
+    body = _maybe_remat(body, cfg)
     x, _ = jax.lax.scan(body, x, (params["layers"], keys))
     x = layer_norm(x, params["norm"])
     out = _linear(x, params["fc_output"])

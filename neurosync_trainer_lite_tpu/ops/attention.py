@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from neurosync_trainer_lite_tpu.ops.rope import rope_qk
+from neurosync_trainer_lite_tpu.ops.rope import rope_qk_preheads
 
 
 def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
@@ -33,9 +33,21 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False):
-    """Scaled dot-product attention. q,k,v: [B, n, T, h]."""
+def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
+    """Scaled dot-product attention. q,k,v: [B, n, T, h].
+
+    impl: 'auto' dispatches to the fused Pallas flash kernel whenever no
+    attention dropout is active and K/V fit VMEM; 'pallas' forces it;
+    'xla' keeps the einsum+softmax path (required when attention-weight
+    dropout is applied, matching torch SDPA dropout_p semantics).
+    """
+    from neurosync_trainer_lite_tpu.ops import flash_attention as fa
+
     scale = q.shape[-1] ** -0.5
+    drop_active = train and dropout_rate > 0.0 and rng is not None
+    if impl != "xla" and not drop_active and k.shape[-2] <= fa.MAX_KV_LEN:
+        return fa.flash_attention(q, k, v, scale)
+
     # Scores accumulate in fp32 on the MXU regardless of input dtype.
     scores = jnp.einsum(
         "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.float32
@@ -60,6 +72,7 @@ def multi_head_attention(
     rng=None,
     train: bool = False,
     use_rope: bool = True,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """params: {'q','k','v','out'} each {'w': [H,H], 'b': [H]}.
 
@@ -72,21 +85,24 @@ def multi_head_attention(
     k = _linear(key, params["k"])
     v = _linear(value, params["v"])
 
+    # Per-head RoPE at full [B, T, H] lane width, before the head split
+    # (mathematically identical to rotating each head after the split).
+    if use_rope:
+        q, k = rope_qk_preheads(q, k, num_heads)
+
     # [B, T, H] -> [B, n, T, h]
     def split_heads(x):
         return x.reshape(B, x.shape[1], num_heads, h).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
 
-    if use_rope:
-        q, k = rope_qk(q, k)
-
     if rng is not None and train:
         rng_attn, rng_resid = jax.random.split(rng)
     else:
         rng_attn = rng_resid = None
 
-    out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn, train=train)
+    out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn, train=train,
+               impl=impl)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, Tq, H)
     out = _linear(out, params["out"])

@@ -7,9 +7,23 @@ utils/model.py:60-83 "local" RoPE on per-head q/k): pairs are the
 pair i at position p is ``p * 10000**(-2i/d)`` where d is the rotated width
 (d_model for global, head_dim for local).
 
-TPU note: ``x[..., ::2]`` strided gathers are relayouts on TPU; an
-interleaved pair split is exactly a trailing ``reshape(..., d//2, 2)``, which
-XLA handles as a free bitcast-like relayout, so we use that.
+TPU-first formulation: the textbook ``x.reshape(..., d//2, 2)`` pair-split
+puts 2 in the lane dimension — the worst possible TPU tiling (lanes are 128
+wide) — and costs strided gathers plus a stack per application, ~50 times per
+forward. Instead we keep full-width [*, d] layouts everywhere:
+
+    out = x * cos_full + roll(x, -1) * A + roll(x, +1) * B
+
+where cos_full is the pairwise-repeated cos table and A/B are sin tables
+pre-masked to even/odd lanes (A[2i] = -sin_i, A[2i+1] = 0; B[2i] = 0,
+B[2i+1] = sin_i). The two lane-rolls express the pair swap
+(x[2i+1] ← x[2i], x[2i] ← -x[2i+1]) without ever leaving the 128-lane
+layout: 3 multiplies + 2 adds + 2 lane shifts on the VPU, zero relayouts.
+
+Per-head RoPE is applied *before* the head split on [B, T, H] by tiling the
+[T, head_dim] tables across all heads (heads are contiguous chunks of H, so
+the tiled table is exactly the per-head pattern) — the rotation then runs at
+H = n_heads·head_dim lane width instead of head_dim.
 """
 
 from __future__ import annotations
@@ -20,32 +34,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=32)
-def _rope_tables_np(seq_len: int, dim: int, base: float = 10000.0):
-    """Host-precomputed (sin, cos) tables, shape [seq_len, dim//2], float32."""
+@functools.lru_cache(maxsize=64)
+def _rope_tables_np(seq_len: int, dim: int, tile: int = 1,
+                    base: float = 10000.0):
+    """Full-width (cos_full, sin_even, sin_odd) tables.
+
+    Shapes [seq_len, dim*tile], float32; `tile` repeats the pattern across
+    contiguous heads for pre-split per-head application.
+    """
     position = np.arange(seq_len, dtype=np.float32)[:, None]          # [T,1]
     dim_idx = np.arange(0, dim, 2, dtype=np.float32)                  # [d/2]
     inv_freq = np.exp(-np.log(base) * dim_idx / dim)[None, :]         # [1,d/2]
     angle = position * inv_freq                                       # [T,d/2]
-    return np.sin(angle), np.cos(angle)
+    sin = np.sin(angle)
+    cos_full = np.repeat(np.cos(angle), 2, axis=1)                    # [T,d]
+    sin_even = np.zeros_like(cos_full)
+    sin_odd = np.zeros_like(cos_full)
+    sin_even[:, 0::2] = -sin      # multiplies roll(x,-1): x[2i+1] at even lanes
+    sin_odd[:, 1::2] = sin        # multiplies roll(x,+1): x[2i]   at odd lanes
+    if tile > 1:
+        cos_full = np.tile(cos_full, (1, tile))
+        sin_even = np.tile(sin_even, (1, tile))
+        sin_odd = np.tile(sin_odd, (1, tile))
+    return cos_full, sin_even, sin_odd
 
 
-def rope_tables(seq_len: int, dim: int, dtype=jnp.float32):
-    sin, cos = _rope_tables_np(seq_len, dim)
-    return jnp.asarray(sin, dtype), jnp.asarray(cos, dtype)
+def rope_tables(seq_len: int, dim: int, dtype=jnp.float32, tile: int = 1):
+    cos_full, sin_even, sin_odd = _rope_tables_np(seq_len, dim, tile)
+    return (jnp.asarray(cos_full, dtype), jnp.asarray(sin_even, dtype),
+            jnp.asarray(sin_odd, dtype))
 
 
-def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+def apply_rope(x: jnp.ndarray, tables) -> jnp.ndarray:
     """Rotate interleaved pairs of the trailing dim.
 
-    x: [..., T, d]; sin/cos: [T, d//2] (broadcast over leading dims).
+    x: [..., T, d']; tables from rope_tables with matching [T, d'].
     """
-    d = x.shape[-1]
-    xp = x.reshape(*x.shape[:-1], d // 2, 2)
-    x1, x2 = xp[..., 0], xp[..., 1]
-    out_even = x1 * cos - x2 * sin
-    out_odd = x1 * sin + x2 * cos
-    return jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
+    cos_full, sin_even, sin_odd = tables
+    left = jnp.roll(x, -1, axis=-1)    # even lanes see x[2i+1]
+    right = jnp.roll(x, 1, axis=-1)    # odd lanes see x[2i]
+    return x * cos_full + left * sin_even + right * sin_odd
 
 
 def rope_embed(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,18 +82,24 @@ def rope_embed(x: jnp.ndarray) -> jnp.ndarray:
     x: [B, T, d_model]. Rotation angles use d = d_model.
     """
     seq_len, d = x.shape[-2], x.shape[-1]
-    sin, cos = rope_tables(seq_len, d, x.dtype)
-    return apply_rope(x, sin, cos)
+    return apply_rope(x, rope_tables(seq_len, d, x.dtype))
+
+
+def rope_qk_preheads(q: jnp.ndarray, k: jnp.ndarray, num_heads: int):
+    """'Local' per-head RoPE applied before the head split
+    (reference: model.py:60-83 applies it per-head after the split; tiling
+    the head_dim tables across H is the same rotation at full lane width).
+
+    q, k: [B, T, H] with H = num_heads * head_dim.
+    """
+    head_dim = q.shape[-1] // num_heads
+    tq = rope_tables(q.shape[-2], head_dim, q.dtype, tile=num_heads)
+    tk = rope_tables(k.shape[-2], head_dim, k.dtype, tile=num_heads)
+    return apply_rope(q, tq), apply_rope(k, tk)
 
 
 def rope_qk(q: jnp.ndarray, k: jnp.ndarray):
-    """'Local' per-head RoPE on q and k (reference: model.py:60-83).
-
-    q, k: [B, n_heads, T, head_dim]. Rotation angles use d = head_dim. Each of
-    q/k uses its own sequence length (in this model they are always equal:
-    the decoder stream *is* the encoder output).
-    """
+    """Per-head RoPE on already-split q/k: [B, n_heads, T, head_dim]."""
     d = q.shape[-1]
-    sin_q, cos_q = rope_tables(q.shape[-2], d, q.dtype)
-    sin_k, cos_k = rope_tables(k.shape[-2], d, k.dtype)
-    return apply_rope(q, sin_q, cos_q), apply_rope(k, sin_k, cos_k)
+    return (apply_rope(q, rope_tables(q.shape[-2], d, q.dtype)),
+            apply_rope(k, rope_tables(k.shape[-2], d, k.dtype)))

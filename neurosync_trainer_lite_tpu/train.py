@@ -1,0 +1,82 @@
+"""CLI training entry point.
+
+``python -m neurosync_trainer_lite_tpu.train [--flag value ...]`` is the
+equivalent of the reference's ``python train.py`` (reference: train.py:61-104)
+with two upgrades the reference lacks: every Config field is overridable from
+the command line, and ``--profile`` captures a jax.profiler trace of the first
+training steps (SURVEY.md §5.1 — the reference has no tracing at all).
+
+Device selection needs no CUDA_VISIBLE_DEVICES dance (train.py:62): the mesh
+uses every visible chip unless --dp/--tp say otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from neurosync_trainer_lite_tpu.config import Config
+
+
+def _add_config_flags(parser: argparse.ArgumentParser) -> None:
+    for f in dataclasses.fields(Config):
+        if f.name == "ffmpeg_path":
+            parser.add_argument("--ffmpeg_path", type=str, default=None)
+            continue
+        if f.type in ("bool", bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=None,
+                                metavar="BOOL")
+        elif f.type in ("int", int):
+            parser.add_argument(f"--{f.name}", type=int, default=None)
+        elif f.type in ("float", float):
+            parser.add_argument(f"--{f.name}", type=float, default=None)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=None)
+
+
+def parse_config(argv=None) -> tuple[Config, argparse.Namespace]:
+    parser = argparse.ArgumentParser(
+        prog="neurosync_trainer_lite_tpu.train",
+        description="TPU-native NeuroSync audio→blendshape trainer")
+    _add_config_flags(parser)
+    parser.add_argument("--tiny", action="store_true",
+                        help="use the CPU-runnable 4-layer tiny config as base")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the first steps")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=("cpu", "tpu"),
+                        help="force a JAX backend (e.g. cpu for a smoke run)")
+    args = parser.parse_args(argv)
+
+    base = {}
+    if args.tiny:
+        from neurosync_trainer_lite_tpu.config import tiny_config
+        base = tiny_config().to_dict()
+    overrides = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(Config)
+        if getattr(args, f.name, None) is not None
+    }
+    base.update(overrides)
+    return Config.from_dict(base), args
+
+
+def main(argv=None) -> None:
+    cfg, args = parse_config(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from neurosync_trainer_lite_tpu.training.loop import train_model
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            train_model(cfg.replace(n_epochs=min(cfg.n_epochs, 1)))
+        print(f"profiler trace written to {args.profile}")
+        return
+    train_model(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,12 +88,16 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
             return jax.device_put(x, sharding)
         return x
 
+    from neurosync_trainer_lite_tpu.data.windowing import prefetch
+
     n_batches = 0
-    for batch_idx, (src, trg) in enumerate(
-            train_view.batches(cfg.batch_size, shuffle=True,
-                               seed=cfg.seed + epoch, drop_last=True)):
+    batch_iter = prefetch(
+        train_view.batches(cfg.batch_size, shuffle=True,
+                           seed=cfg.seed + epoch, drop_last=True),
+        put=put)
+    for batch_idx, (src, trg) in enumerate(batch_iter):
         rng = jax.random.fold_in(base_key, batch_step)
-        state, loss, grad_norm = train_step(state, put(src), put(trg), rng)
+        state, loss, grad_norm = train_step(state, src, trg, rng)
 
         train_steps.append(batch_step)
         train_losses.append(loss)          # device scalar; fetched at epoch end

@@ -128,8 +128,11 @@ def test_data_parallel_matches_single_device():
     losses_1, state_1 = run(False)
     losses_8, state_8 = run(True)
     np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5)
+    # After 3 Adam steps tiny reduction-order differences (sharded matmul /
+    # flash-attention accumulation) are amplified by the rsqrt(v) update;
+    # 1e-4 still catches any real divergence (wrong psum, missing grad sync).
     for a, b in zip(jax.tree.leaves(state_1.params), jax.tree.leaves(state_8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_tensor_parallel_forward_matches():
