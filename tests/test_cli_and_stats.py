@@ -1,0 +1,88 @@
+"""CLI flag parsing and the offline epoch-stats parser/plotters."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neurosync_trainer_lite_tpu.train import parse_config
+from neurosync_trainer_lite_tpu.utils.epoch_stats import (
+    find_stats_files,
+    load_stats_history,
+    parse_stats_file,
+    plot_dimension_stats,
+    plot_overall_stats,
+)
+from neurosync_trainer_lite_tpu.utils.stats import compute_comparison_stats
+
+
+def test_cli_defaults_match_config():
+    cfg, args = parse_config([])
+    assert cfg.hidden_dim == 1024 and cfg.n_layers == 8
+    assert args.profile is None
+
+
+def test_cli_overrides():
+    cfg, _ = parse_config(["--hidden_dim", "256", "--use_amp", "false",
+                           "--learning_rate", "1e-4", "--mode", "resume"])
+    assert cfg.hidden_dim == 256
+    assert cfg.use_amp is False
+    assert cfg.learning_rate == pytest.approx(1e-4)
+    assert cfg.mode == "resume"
+
+
+def test_cli_tiny_base_with_override():
+    cfg, _ = parse_config(["--tiny", "--batch_size", "4"])
+    assert cfg.n_layers == 4 and cfg.batch_size == 4 and cfg.use_amp is False
+
+
+def _write_stats_epoch(tmp_path, epoch, scale):
+    """Emit a stats file through the real writer path (stats → txt)."""
+    from neurosync_trainer_lite_tpu.utils.stats import save_comparison_stats
+    from neurosync_trainer_lite_tpu.utils.csv_io import (
+        DIMENSION_LABELS, save_generated_data_as_csv)
+
+    rng = np.random.default_rng(epoch)
+    gt = rng.uniform(0, 1, (50, len(DIMENSION_LABELS)))
+    gen = gt + scale * rng.standard_normal(gt.shape)
+    gen_path = os.path.join(tmp_path, f"gen_{epoch}.csv")
+    gt_path = os.path.join(tmp_path, "gt.csv")
+    save_generated_data_as_csv(gen, gen_path)
+    save_generated_data_as_csv(gt, gt_path)
+    save_comparison_stats(gen_path, gt_path, os.path.join(
+        tmp_path, f"comparison_stats_epoch_{epoch}.txt"))
+
+
+def test_stats_roundtrip_and_plots(tmp_path):
+    tmp = str(tmp_path)
+    for epoch, scale in ((1, 0.3), (2, 0.2), (3, 0.1)):
+        _write_stats_epoch(tmp, epoch, scale)
+
+    files = find_stats_files(tmp)
+    assert [e for e, _ in files] == [1, 2, 3]
+
+    overall, per_dim = parse_stats_file(files[0][1])
+    assert "Mean Absolute Error (MAE)" in overall
+    assert len(per_dim) == 61
+    assert all(len(v) == 5 for v in per_dim.values())
+
+    epochs, overall_hist, dim_hist = load_stats_history(tmp)
+    assert epochs == [1, 2, 3]
+    # decreasing noise must yield decreasing MAE across epochs
+    mae = overall_hist["Mean Absolute Error (MAE)"]
+    assert mae[0] > mae[1] > mae[2]
+
+    p1 = plot_overall_stats(tmp)
+    p2 = plot_dimension_stats(tmp, "MAE")
+    assert os.path.exists(p1) and os.path.exists(p2)
+    with pytest.raises(ValueError):
+        plot_dimension_stats(tmp, "NotAMetric")
+
+
+def test_stats_guards():
+    # constant dim → correlation NaN (guarded), zero truth → MAPE guarded
+    gen = np.zeros((10, 3))
+    gt = np.zeros((10, 3))
+    overall, per_dim = compute_comparison_stats(gen, gt)
+    assert overall["Mean Absolute Error (MAE)"] == 0.0
+    assert np.isnan(overall["Correlation Coefficient (r)"])
