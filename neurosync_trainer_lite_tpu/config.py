@@ -66,6 +66,12 @@ class Config:
     zero_penalty_weight: float = 0.0  # >0 enables the zero-dim penalty loss
                                       # variant (reference: model.py:296-346,
                                       # commented-out research code)
+    loss_variant: str = "standard"   # 'standard' (reference's active Loss) |
+                                     # 'smoothness' (the Huber + L2/2nd-order
+                                     # smoothness + cosine research variant,
+                                     # reference model.py:377-485)
+    w4: float = 1.0                  # 2nd-order smoothness weight (variant)
+    smoothness_annealing: bool = False  # cosine-anneal the smoothness weights
     validation_interval: int = 20    # validate every N train steps
     val_split: float = 0.1
 

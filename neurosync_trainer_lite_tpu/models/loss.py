@@ -72,3 +72,56 @@ def loss_fn(
         total = total + zero_penalty_weight * jnp.mean(jnp.abs(zero_features))
 
     return total
+
+
+def smoothness_loss_fn(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    *,
+    delta: float = 1.0,
+    w1: float = 1.0,
+    w2: float = 1.0,
+    w3: float = 1.0,
+    w4: float = 1.0,
+    current_step=None,
+    total_steps: int = 1,
+    anneal: bool = False,
+    anneal_cycles: int = 1000,
+) -> jnp.ndarray:
+    """The reference's experimental smoothness-loss variant
+    (utils/model.py:377-485, commented-out research code):
+
+      w1·Huber + α·w2·L2(Δ) + β·w4·L2(Δ²) + w3·(1 − cos(frames))
+
+    where the cosine runs over whole frames (not frame deltas) and α/β are
+    antiphase cosine-annealed weights over `anneal_cycles` cycles when
+    `anneal` is on (reference :447-461), else 1. `current_step` may be a
+    traced scalar so the schedule lives inside the jitted step.
+    """
+    predictions = predictions.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+
+    err = jnp.abs(targets - predictions)
+    huber = jnp.mean(jnp.where(err <= delta, 0.5 * jnp.square(err),
+                               delta * err - 0.5 * delta * delta))
+
+    d_pred = predictions[:, :-1] - predictions[:, 1:]
+    d_targ = targets[:, :-1] - targets[:, 1:]
+    l2_smooth = jnp.mean(jnp.square(d_pred - d_targ))
+
+    d2_pred = d_pred[:, :-1] - d_pred[:, 1:]
+    d2_targ = d_targ[:, :-1] - d_targ[:, 1:]
+    second_order = jnp.mean(jnp.square(d2_pred - d2_targ))
+
+    cos = _cosine_similarity(predictions, targets)
+    cos_loss = 1.0 - jnp.mean(cos)
+
+    if anneal and current_step is not None:
+        phase = (current_step / total_steps) * 2.0 * jnp.pi * anneal_cycles
+        alpha = (jnp.cos(phase) + 1.0) / 2.0
+        beta = (jnp.cos(phase + jnp.pi) + 1.0) / 2.0
+    else:
+        alpha = beta = 1.0
+
+    return (w1 * huber + alpha * w2 * l2_smooth
+            + beta * w4 * second_order + w3 * cos_loss)

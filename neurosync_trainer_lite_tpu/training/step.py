@@ -65,8 +65,17 @@ def shard_state(state: TrainState, cfg: Config, mesh,
     return TrainState(params, opt_state)
 
 
-def _compute_loss(params, src, trg, cfg: Config, rng, train: bool):
+def _compute_loss(params, src, trg, cfg: Config, rng, train: bool,
+                  step_count=None, total_steps: int = 1):
     pred = seq2seq_apply(params, src, cfg, rng=rng, train=train)
+    if cfg.loss_variant == "smoothness":
+        from neurosync_trainer_lite_tpu.models.loss import smoothness_loss_fn
+
+        return smoothness_loss_fn(
+            pred, trg, delta=cfg.delta, w1=cfg.w1, w2=cfg.w2, w3=cfg.w3,
+            w4=cfg.w4, current_step=step_count, total_steps=total_steps,
+            anneal=cfg.smoothness_annealing,
+        )
     return loss_fn(
         pred, trg, delta=cfg.delta, w1=cfg.w1, w2=cfg.w2, w3=cfg.w3,
         zero_penalty_weight=cfg.zero_penalty_weight,
@@ -74,12 +83,19 @@ def _compute_loss(params, src, trg, cfg: Config, rng, train: bool):
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
-                    *, donate: bool = True):
+                    *, donate: bool = True, total_steps: int = 1):
     """Returns jitted (state, src, trg, rng) → (state, loss, grad_norm)."""
 
     def step(state: TrainState, src, trg, rng):
+        step_count = None
+        if cfg.loss_variant == "smoothness" and cfg.smoothness_annealing:
+            # the Adam update counter doubles as the global step for the
+            # annealed smoothness schedule (traced, stays in the program)
+            counts = optax.tree_utils.tree_get_all_with_path(
+                state.opt_state, "count")  # adam + schedule both count steps
+            step_count = counts[0][1]
         loss, grads = jax.value_and_grad(_compute_loss)(
-            state.params, src, trg, cfg, rng, True)
+            state.params, src, trg, cfg, rng, True, step_count, total_steps)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
