@@ -34,11 +34,15 @@ SPECIFIED_COLUMNS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
 
 def extract_audio_features(audio_input, sr: int = 88200, from_bytes: bool = False,
                            use_device: bool = True):
-    """Audio path/bytes → (features[T,256], waveform) (reference:
-    extract_features.py:6-24). Runs the device frontend when available."""
+    """Audio path/bytes/array → (features[T,256], waveform) (reference:
+    extract_features.py:6-24). Runs the device frontend when available.
+    An ndarray input is taken as an already-decoded mono waveform at sr
+    (the streaming path feeds raw sample buffers directly)."""
     from neurosync_trainer_lite_tpu.utils.audio_io import load_audio_from_bytes
 
-    if from_bytes:
+    if isinstance(audio_input, np.ndarray):
+        y = np.asarray(audio_input, np.float32).reshape(-1)
+    elif from_bytes:
         y, sr = load_audio_from_bytes(audio_input, sr)
     else:
         y, sr = load_and_preprocess_audio(audio_input, sr)

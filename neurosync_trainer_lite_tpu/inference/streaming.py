@@ -1,0 +1,148 @@
+"""Real-time streaming inference: incremental audio → incremental blendshapes.
+
+The reference handles long audio only offline — all features first, then a
+serial chunk/blend loop (reference: utils/audio/processing/audio_processing.py:
+50-112). This streamer produces frames *incrementally* with the same
+chunk/overlap-blend math, for live Player/API sessions (BASELINE config #5,
+real-time 60 fps): feed raw audio samples as they arrive, pull blendshape
+frames as they become final.
+
+Protocol (identical blending semantics to the offline path):
+- features accumulate in a ring; every `frame_size - overlap` new frames a
+  128-frame window is decoded (one jitted call on a fixed shape — compiled
+  exactly once);
+- the first `overlap` frames of a new chunk cross-fade into the previous
+  chunk's tail, so a chunk's last `overlap` frames stay *provisional* until
+  the next chunk (or `flush()`) finalizes them;
+- `flush()` decodes whatever remains (reflect-padded) and finalizes.
+
+Latency: one chunk stride = (128-16) frames ≈ 1.87 s of audio at 60 fps by
+default; lower `frame_size`/raise `overlap` for lower-latency interactive use
+(quality parity holds — RoPE makes windows position-relative).
+
+Feature-extraction caveat: the MFCC pipeline normalizes cepstra with
+*clip-global* mean/variance (CMVN, reference extract_features_utils.py:5-8),
+so feature rows are only exactly reproducible given the whole clip. The
+streamer recomputes features over the full buffered audio on each push (the
+frontend is device-batched and cheap relative to the model) and decodes each
+window with the freshest statistics; already-finalized frames are never
+revised. Offline and streaming outputs therefore agree to CMVN-drift
+tolerance, not bit-exactly — and tail frames use blended (not the offline
+path's concatenated) semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.inference.chunked import (
+    blend_chunks,
+    decode_chunks_batched,
+    pad_audio_chunk,
+)
+
+
+class BlendshapeStreamer:
+    """Incremental wav→blendshape decoder with overlap-blend continuity."""
+
+    def __init__(self, params, cfg: Config, *, extract_features=None):
+        from neurosync_trainer_lite_tpu.data.processing import (
+            extract_audio_features)
+
+        self.params = params
+        self.cfg = cfg
+        self._extract = extract_features or (
+            lambda y: extract_audio_features(y, cfg.sr)[0])
+        self._audio = np.zeros((0,), np.float32)      # raw samples not yet final
+        self._features = np.zeros((0, cfg.input_dim), np.float32)
+        self._pending: np.ndarray | None = None       # provisional tail frames
+        self._emitted: list[np.ndarray] = []
+        self._consumed_frames = 0                     # features already decoded
+
+    # -- feeding ------------------------------------------------------------
+
+    def push_audio(self, samples: np.ndarray) -> int:
+        """Append raw mono samples at cfg.sr; returns frames newly finalized."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._audio = np.concatenate([self._audio, samples])
+        self._refresh_features()
+        before = self.frames_ready
+        self._drain(final=False)
+        return self.frames_ready - before
+
+    def flush(self) -> None:
+        """Finalize everything buffered (end of stream)."""
+        self._refresh_features()
+        self._drain(final=True)
+
+    # -- reading ------------------------------------------------------------
+
+    @property
+    def frames_ready(self) -> int:
+        return sum(len(e) for e in self._emitted)
+
+    def pop_frames(self) -> np.ndarray:
+        """All finalized frames since the last pop: [n, output_dim]."""
+        if not self._emitted:
+            return np.zeros((0, self.cfg.output_dim), np.float64)
+        out = np.concatenate(self._emitted, axis=0)
+        self._emitted = []
+        return out
+
+    # -- internals ----------------------------------------------------------
+
+    def _refresh_features(self) -> None:
+        """Extract features over the buffered audio suffix.
+
+        The feature frontend needs a minimum context; features for already-
+        consumed frames are stable because extraction is windowed with no
+        lookahead beyond one frame, so we recompute the suffix and keep
+        previously consumed rows untouched.
+        """
+        feats = self._extract(self._audio)
+        if feats is None:
+            return
+        feats = np.asarray(feats, np.float32)
+        if len(feats) > self._consumed_frames:
+            self._features = feats
+
+    def _drain(self, *, final: bool) -> None:
+        cfg = self.cfg
+        frame_len, overlap = cfg.frame_size, cfg.overlap
+        stride = frame_len - overlap
+        while True:
+            avail = len(self._features) - self._consumed_frames
+            if avail <= 0:
+                break
+            if avail < frame_len and not final:
+                break
+            take = min(frame_len, avail)
+            window = self._features[
+                self._consumed_frames: self._consumed_frames + take]
+            chunk = pad_audio_chunk(window, frame_len, cfg.input_dim)
+            decoded = decode_chunks_batched(
+                self.params, chunk[None], cfg)[0][:take]
+
+            if self._pending is None:
+                merged = decoded
+            else:
+                merged = blend_chunks(self._pending, decoded, overlap)
+
+            if final and take >= avail:
+                self._finalize(merged)
+                self._pending = None
+                self._consumed_frames += take
+                break
+            # hold back the tail that the next chunk will cross-fade into
+            hold = min(overlap, len(merged))
+            self._finalize(merged[: len(merged) - hold])
+            self._pending = merged[len(merged) - hold:]
+            self._consumed_frames += take - hold
+
+    def _finalize(self, frames: np.ndarray) -> None:
+        if len(frames) == 0:
+            return
+        out = np.array(frames, np.float64)
+        out[:, :61] /= 100  # LiveLink space (reference: audio_processing.py:102)
+        self._emitted.append(out)

@@ -1,0 +1,94 @@
+"""Streaming inference: incremental pushes match the offline chunked path."""
+
+import numpy as np
+import pytest
+
+from neurosync_trainer_lite_tpu.config import tiny_config
+from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
+from neurosync_trainer_lite_tpu.inference.streaming import BlendshapeStreamer
+from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(frame_size=32, overlap=8, input_dim=16, output_dim=61)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _feature_oracle(cfg):
+    """Deterministic fake frontend: 60 fps features derived from samples."""
+    def extract(y):
+        n = len(y) // (cfg.sr // 60)
+        if n == 0:
+            return None
+        t = np.arange(n, dtype=np.float32)[:, None]
+        f = np.arange(cfg.input_dim, dtype=np.float32)[None, :]
+        return np.sin(0.01 * t * (1 + f)).astype(np.float32)
+    return extract
+
+
+def test_streaming_matches_offline_core(setup):
+    cfg, params = setup
+    extract = _feature_oracle(cfg)
+    samples_per_frame = cfg.sr // 60
+    total = 100 * samples_per_frame
+    audio = np.random.default_rng(0).standard_normal(total).astype(np.float32)
+
+    offline = process_audio_features(extract(audio), params, cfg)
+
+    streamer = BlendshapeStreamer(params, cfg, extract_features=extract)
+    for i in range(0, total, 7 * samples_per_frame):
+        streamer.push_audio(audio[i: i + 7 * samples_per_frame])
+    streamer.flush()
+    streamed = streamer.pop_frames()
+
+    assert streamed.shape == offline.shape
+    # all frames before the final chunk's blend window must agree exactly
+    # (same chunk boundaries, same model, same blend math)
+    core = len(offline) - cfg.frame_size
+    np.testing.assert_allclose(streamed[:core], offline[:core],
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_incremental_finality(setup):
+    cfg, params = setup
+    extract = _feature_oracle(cfg)
+    spf = cfg.sr // 60
+    audio = np.random.default_rng(1).standard_normal(200 * spf).astype(np.float32)
+
+    streamer = BlendshapeStreamer(params, cfg, extract_features=extract)
+    seen = []
+    for i in range(0, len(audio), 25 * spf):
+        got = streamer.push_audio(audio[i: i + 25 * spf])
+        if got:
+            seen.append(streamer.pop_frames())
+    streamer.flush()
+    seen.append(streamer.pop_frames())
+    combined = np.concatenate(seen, axis=0)
+
+    # one-shot stream of the same audio produces identical finalized frames
+    ref = BlendshapeStreamer(params, cfg, extract_features=extract)
+    ref.push_audio(audio)
+    ref.flush()
+    ref_frames = ref.pop_frames()
+    assert combined.shape == ref_frames.shape
+    np.testing.assert_allclose(combined, ref_frames, atol=1e-5, rtol=1e-4)
+
+
+def test_empty_and_short_streams(setup):
+    cfg, params = setup
+    extract = _feature_oracle(cfg)
+    s = BlendshapeStreamer(params, cfg, extract_features=extract)
+    assert s.push_audio(np.zeros(10, np.float32)) == 0
+    s.flush()
+    assert s.pop_frames().shape[0] == 0
+
+    # shorter than one chunk: flush still emits every frame
+    spf = cfg.sr // 60
+    s2 = BlendshapeStreamer(params, cfg, extract_features=extract)
+    s2.push_audio(np.random.default_rng(2).standard_normal(10 * spf).astype(np.float32))
+    s2.flush()
+    assert s2.pop_frames().shape == (10, cfg.output_dim)
