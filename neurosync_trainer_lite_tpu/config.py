@@ -104,6 +104,12 @@ class Config:
     remat_policy: str = "full"       # 'full' | 'dots' — 'dots' saves MXU
                                      # results and recomputes only elementwise
                                      # work (cheaper bwd than full remat)
+    remat_scope: str = "all"         # 'all' | 'decoder' | 'encoder' —
+                                     # selective remat: recompute only one
+                                     # half, keep the other's activations
+                                     # resident (decoder layers are ~2x the
+                                     # encoder's, so 'decoder' frees most of
+                                     # the memory for ~60% of the recompute)
     attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
 
     # ---------------------------------------------------------------------------

@@ -167,8 +167,8 @@ def _decoder_layer(lp, x, memory, rng, *, num_heads, rate, train, impl="auto"):
     return x
 
 
-def _maybe_remat(body, cfg: Config):
-    if not cfg.remat:
+def _maybe_remat(body, cfg: Config, scope: str):
+    if not cfg.remat or cfg.remat_scope not in ("all", scope):
         return body
     if cfg.remat_policy == "dots":
         return jax.checkpoint(
@@ -203,7 +203,7 @@ def encoder_apply(params, x, cfg: Config, *, rng=None, train: bool = False):
         )
         return out, None
 
-    body = _maybe_remat(body, cfg)
+    body = _maybe_remat(body, cfg, "encoder")
     x, _ = jax.lax.scan(body, x, (params["layers"], keys))
     return layer_norm(x, params["norm"])
 
@@ -229,7 +229,7 @@ def decoder_apply(params, encoder_outputs, cfg: Config, *, rng=None, train: bool
         )
         return out, None
 
-    body = _maybe_remat(body, cfg)
+    body = _maybe_remat(body, cfg, "decoder")
     x, _ = jax.lax.scan(body, x, (params["layers"], keys))
     x = layer_norm(x, params["norm"])
     out = _linear(x, params["fc_output"])

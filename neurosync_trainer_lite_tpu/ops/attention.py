@@ -36,16 +36,22 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
 def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
     """Scaled dot-product attention. q,k,v: [B, n, T, h].
 
-    impl: 'auto' dispatches to the fused Pallas flash kernel whenever no
-    attention dropout is active and K/V fit VMEM; 'pallas' forces it;
-    'xla' keeps the einsum+softmax path (required when attention-weight
-    dropout is applied, matching torch SDPA dropout_p semantics).
+    impl: 'auto' dispatches to the fused Pallas flash kernel for long
+    sequences (≥ MIN_KV_LEN_AUTO, where keeping the [T,T] matrices in VMEM
+    pays for the kernel overhead — at this model's 128-frame windows XLA's
+    batched path is faster, see flash_attention.py) when no attention dropout
+    is active; 'pallas' forces the kernel; 'xla' keeps the einsum+softmax
+    path (required when attention-weight dropout is applied, matching torch
+    SDPA dropout_p semantics).
     """
     from neurosync_trainer_lite_tpu.ops import flash_attention as fa
 
     scale = q.shape[-1] ** -0.5
     drop_active = train and dropout_rate > 0.0 and rng is not None
-    if impl != "xla" and not drop_active and k.shape[-2] <= fa.MAX_KV_LEN:
+    kv_len = k.shape[-2]
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and kv_len >= fa.MIN_KV_LEN_AUTO)
+    if use_pallas and not drop_active and kv_len <= fa.MAX_KV_LEN:
         return fa.flash_attention(q, k, v, scale)
 
     # Scores accumulate in fp32 on the MXU regardless of input dtype.

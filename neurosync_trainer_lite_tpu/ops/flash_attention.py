@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Q_BLOCK = 128
 MAX_KV_LEN = 2048  # K/V strip must fit VMEM; larger sequences use the XLA path
+# Measured on v5e (tools/tpu_probe.py): at T=128 XLA's batched einsum+softmax
+# beats this kernel (432 vs 349 train samples/s — per-block work is too small
+# at h=64 to amortize kernel overhead); the VMEM-residency win appears on
+# longer sequences, so 'auto' only dispatches here from this length up.
+MIN_KV_LEN_AUTO = 512
 
 
 def _use_interpret() -> bool:

@@ -69,8 +69,22 @@ def apply_rope(x: jnp.ndarray, tables) -> jnp.ndarray:
     """Rotate interleaved pairs of the trailing dim.
 
     x: [..., T, d']; tables from rope_tables with matching [T, d'].
+    On TPU this dispatches to the single-pass Pallas kernel
+    (ops/rope_pallas.py); elsewhere the XLA roll formulation runs.
     """
     cos_full, sin_even, sin_odd = tables
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from neurosync_trainer_lite_tpu.ops.rope_pallas import rope_rotate
+
+        lead = x.shape[:-2]
+        x3 = x.reshape((-1,) + x.shape[-2:])
+        out = rope_rotate(x3, cos_full.astype(jnp.float32),
+                          sin_even.astype(jnp.float32),
+                          sin_odd.astype(jnp.float32))
+        return out.reshape(lead + x.shape[-2:])
+
     left = jnp.roll(x, -1, axis=-1)    # even lanes see x[2i+1]
     right = jnp.roll(x, 1, axis=-1)    # odd lanes see x[2i]
     return x * cos_full + left * sin_even + right * sin_odd

@@ -30,17 +30,89 @@ def main():
     p.add_argument("--attn", default="auto")
     p.add_argument("--remat", type=int, default=1)
     p.add_argument("--policy", default="full")
+    p.add_argument("--scope", default="all")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--amp", type=int, default=1)
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--patch", default=None,
+                   choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
+                            "fastattn", "fusedqkv"),
+                   help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
+
+    if args.patch == "norope":
+        from neurosync_trainer_lite_tpu.ops import rope
+        rope.apply_rope = lambda x, tables: x
+    elif args.patch == "noln":
+        from neurosync_trainer_lite_tpu.models import seq2seq
+        seq2seq.layer_norm = lambda x, p, eps=1e-5: x
+    elif args.patch == "nosoftmax":
+        import jax.nn
+        from neurosync_trainer_lite_tpu.ops import attention
+        _orig = attention.sdpa
+        def sdpa_nosm(q, k, v, **kw):
+            import jax.numpy as jnp
+            scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                                preferred_element_type=jnp.float32)
+            out = jnp.einsum("bnqk,bnkh->bnqh", scores.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            return out.astype(v.dtype)
+        attention.sdpa = sdpa_nosm
+    elif args.patch == "noattn":
+        from neurosync_trainer_lite_tpu.ops import attention
+        attention.multi_head_attention = (
+            lambda params, q, k, v, **kw: q)
+    elif args.patch == "noffn":
+        from neurosync_trainer_lite_tpu.models import seq2seq
+        seq2seq._ffn = lambda p, x, **kw: x
+    elif args.patch in ("fastattn", "fusedqkv"):
+        import jax.numpy as jnp
+        from neurosync_trainer_lite_tpu.ops import attention as attn_mod
+        from neurosync_trainer_lite_tpu.models import seq2seq
+        from neurosync_trainer_lite_tpu.ops.rope import rope_qk_preheads
+        fused = args.patch == "fusedqkv"
+
+        def mha(params, query, key, value, *, num_heads, dropout_rate=0.0,
+                rng=None, train=False, use_rope=True, impl="auto"):
+            B, Tq, H = query.shape
+            h = H // num_heads
+            if fused and query is key and key is value:
+                wqkv = jnp.concatenate(
+                    [params[n]["w"] for n in ("q", "k", "v")], axis=-1)
+                bqkv = jnp.concatenate(
+                    [params[n]["b"] for n in ("q", "k", "v")], axis=-1)
+                qkv = (jnp.dot(query, wqkv.astype(query.dtype),
+                               preferred_element_type=jnp.float32)
+                       + bqkv.astype(jnp.float32)).astype(query.dtype)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = attn_mod._linear(query, params["q"])
+                k = attn_mod._linear(key, params["k"])
+                v = attn_mod._linear(value, params["v"])
+            if use_rope:
+                q, k = rope_qk_preheads(q, k, num_heads)
+            # transpose-free: contract straight from [B, T, n, h]
+            q4 = q.reshape(B, Tq, num_heads, h)
+            k4 = k.reshape(B, k.shape[1], num_heads, h)
+            v4 = v.reshape(B, v.shape[1], num_heads, h)
+            s = jnp.einsum("bqnh,bknh->bnqk", q4, k4,
+                           preferred_element_type=jnp.float32) * (h ** -0.5)
+            w = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bnqk,bknh->bqnh", w.astype(v4.dtype), v4,
+                           preferred_element_type=jnp.float32)
+            o = o.astype(v.dtype).reshape(B, Tq, H)
+            return attn_mod._linear(o, params["out"])
+
+        import jax
+        attn_mod.multi_head_attention = mha
+        seq2seq.multi_head_attention = mha
 
     import jax
     import jax.numpy as jnp
     from neurosync_trainer_lite_tpu.config import full_config
 
     cfg = full_config(dropout=args.dropout, remat=bool(args.remat),
-                      remat_policy=args.policy, attention_impl=args.attn,
+                      remat_policy=args.policy, remat_scope=args.scope, attention_impl=args.attn,
                       use_amp=bool(args.amp))
     key = jax.random.PRNGKey(0)
     src = jax.random.normal(key, (args.b, args.t, cfg.input_dim), jnp.float32)
