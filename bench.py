@@ -19,6 +19,7 @@ driver's north-star is >=4x that on a v5p-8; this script reports one chip.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -28,6 +29,58 @@ from neurosync_trainer_lite_tpu.config import full_config
 from neurosync_trainer_lite_tpu.training.step import init_train_state, make_train_step
 
 REFERENCE_4GPU_SAMPLES_PER_SEC = 550.0
+
+
+def bench_inference():
+    """--mode infer: wav→blendshape frames/sec through the full serving path
+    (feature frontend + batched chunked decode, BASELINE config #5).
+    Baseline = 60 fps real-time."""
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.config import Config
+    from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
+    from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
+    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+
+    cfg = Config(dropout=0.0)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    seconds = 30
+    audio = rng.standard_normal(cfg.sr * seconds).astype(np.float32) * 0.3
+
+    feats, _ = extract_audio_features(audio, cfg.sr)
+    out = process_audio_features(np.asarray(feats), params, cfg)  # warm/compile
+    t0 = time.perf_counter()
+    feats, _ = extract_audio_features(audio, cfg.sr)
+    out = process_audio_features(np.asarray(feats), params, cfg)
+    dt = time.perf_counter() - t0
+    fps = len(out) / dt
+    print(json.dumps({
+        "metric": "audio_to_blendshape_frames_per_sec",
+        "value": round(fps, 1), "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 2),  # 60 fps = real-time
+    }))
+
+
+def bench_frontend():
+    """--mode frontend: device feature-extraction throughput in audio-seconds
+    processed per second (BASELINE config #3's hot half)."""
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.ops.frontend import extract_audio_features_jax
+
+    sr, seconds = 88200, 60
+    y = np.random.default_rng(0).standard_normal(sr * seconds).astype(np.float32)
+    feats, _ = extract_audio_features_jax(y, sr)  # warm/compile
+    t0 = time.perf_counter()
+    feats, _ = extract_audio_features_jax(y, sr)
+    _ = np.asarray(feats)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "frontend_audio_seconds_per_sec",
+        "value": round(seconds / dt, 1), "unit": "audio_s/s",
+        "vs_baseline": round((seconds / dt) / 1.0, 2),  # 1x = real-time
+    }))
 
 
 def main():
@@ -71,4 +124,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+        {"train": main, "infer": bench_inference,
+         "frontend": bench_frontend}[mode]()
+    else:
+        main()

@@ -100,6 +100,11 @@ class Config:
 
     # --- TPU-specific ----------------------------------------------------------
     seed: int = 0
+    prng_impl: str = "rbg"           # dropout-key PRNG: 'rbg' uses the TPU
+                                     # hardware RNG (measured: dropout-0.3
+                                     # training 226→356 samples/s vs
+                                     # threefry); 'threefry' for bitwise
+                                     # cross-platform reproducibility
     remat: bool = False              # jax.checkpoint the encoder/decoder layers
     remat_policy: str = "full"       # 'full' | 'dots' — 'dots' saves MXU
                                      # results and recomputes only elementwise

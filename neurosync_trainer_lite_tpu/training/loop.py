@@ -64,7 +64,7 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
                     plots_dir=None, verbose=True):
     """Returns (state, batch_step, mean_epoch_loss)."""
     sharding = batch_sharding(mesh) if mesh is not None else None
-    base_key = jax.random.PRNGKey(cfg.seed + 1)
+    base_key = jax.random.key(cfg.seed + 1, impl=cfg.prng_impl)
 
     train_losses, train_steps = [], []
     val_losses, val_steps = [], []

@@ -31,6 +31,7 @@ def main():
     p.add_argument("--remat", type=int, default=1)
     p.add_argument("--policy", default="full")
     p.add_argument("--scope", default="all")
+    p.add_argument("--rng", default="threefry", choices=("threefry", "rbg"))
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--amp", type=int, default=1)
     p.add_argument("--fwd-only", action="store_true")
@@ -137,6 +138,8 @@ def main():
         step = make_train_step(cfg, tx)
         trg = jax.random.normal(key, (args.b, args.t, cfg.output_dim),
                                 jnp.float32)
+        if args.rng == "rbg":
+            key = jax.random.key(0, impl="rbg")
         for i in range(3):
             state, loss, gn = step(state, src, trg, jax.random.fold_in(key, i))
         float(loss)
