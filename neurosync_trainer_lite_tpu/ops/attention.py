@@ -91,26 +91,40 @@ def multi_head_attention(
     k = _linear(key, params["k"])
     v = _linear(value, params["v"])
 
-    # Per-head RoPE at full [B, T, H] lane width, before the head split
-    # (mathematically identical to rotating each head after the split).
-    if use_rope:
-        q, k = rope_qk_preheads(q, k, num_heads)
-
-    # [B, T, H] -> [B, n, T, h]
-    def split_heads(x):
-        return x.reshape(B, x.shape[1], num_heads, h).transpose(0, 2, 1, 3)
-
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-
     if rng is not None and train:
         rng_attn, rng_resid = jax.random.split(rng)
     else:
         rng_attn = rng_resid = None
 
-    out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn, train=train,
-               impl=impl)
+    drop_active = train and dropout_rate > 0.0 and rng_attn is not None
+    Tk = k.shape[1]
+    if (impl == "pallas" and not drop_active and use_rope
+            and Tk <= 2048 and h % 2 == 0):
+        # Fully-fused core: RoPE + per-head scores/softmax/·v in one Pallas
+        # kernel on unsplit [B, T, H] (no head-split relayouts, no [T, T]
+        # HBM traffic). Opt-in only: measured 70.2 vs 63.2 ms fwd against
+        # the XLA path at this model's T=128 — the per-head 128×64 matmuls
+        # can't beat XLA's batched scheduling (docs/PERF.md).
+        from neurosync_trainer_lite_tpu.ops.fused_attention import (
+            fused_rope_attention, make_tables)
 
-    out = out.transpose(0, 2, 1, 3).reshape(B, Tq, H)
+        tables = make_tables(Tq, Tk, h, num_heads)
+        out = fused_rope_attention(q, k, v, tables, num_heads, h ** -0.5)
+    else:
+        # Per-head RoPE at full [B, T, H] lane width, before the head split
+        # (mathematically identical to rotating each head after the split).
+        if use_rope:
+            q, k = rope_qk_preheads(q, k, num_heads)
+
+        # [B, T, H] -> [B, n, T, h]
+        def split_heads(x):
+            return x.reshape(B, x.shape[1], num_heads, h).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        out = sdpa(q, k, v, dropout_rate=dropout_rate, rng=rng_attn,
+                   train=train, impl=impl)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, H)
+
     out = _linear(out, params["out"])
     out = dropout(out, dropout_rate, rng_resid, train)
     return out

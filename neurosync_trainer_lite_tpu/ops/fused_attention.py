@@ -1,0 +1,198 @@
+"""Fully-fused multi-head attention core: RoPE + scores + softmax + ·v in
+one Pallas kernel, operating on *unsplit* [B, T, H] tensors.
+
+Why a second attention kernel (vs ops/flash_attention.py): the flash kernel
+grids over (batch·heads) with one 128×64 tile per cell — measured SLOWER than
+XLA at this model's T=128 (grid overhead dwarfs the tiny per-cell work,
+docs/PERF.md). This kernel instead grids over batch only; each cell holds one
+row's full [T, H] q/k/v strip in VMEM, applies the interleaved-RoPE rotation
+in-register (lane rolls, as ops/rope_pallas.py), and unrolls the per-head
+scores→softmax→·v chain as 16 small MXU ops with an fp32 VMEM accumulator —
+so the [T, T] score/probability matrices, the fp32 softmax, and the four
+head-split relayouts of the XLA path never touch HBM.
+
+Backward is a mirror kernel: recompute the rotated q/k and per-head softmax
+(flash-style — nothing attention-internal is saved), run the standard
+softmax-attention VJP per head, and apply the *transpose* rotation to dq/dk
+before writing (d pre-rope = Mᵀ · d post-rope).
+
+Used for every dropout-free attention (inference always; training when
+attention dropout is off). Attention-weight dropout keeps the XLA path for
+exact torch-SDPA mask semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _rot(x, cos, a, b):
+    """Interleaved RoPE as lane rolls (fp32 in-register)."""
+    d = x.shape[-1]
+    return x * cos + pltpu.roll(x, d - 1, 1) * a + pltpu.roll(x, 1, 1) * b
+
+
+def _rot_t(y, cos, a, b):
+    """Transpose rotation: Mᵀy = cos·y + S₊₁(a·y) + S₋₁(b·y)."""
+    d = y.shape[-1]
+    return y * cos + pltpu.roll(y * a, 1, 1) + pltpu.roll(y * b, d - 1, 1)
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, aq_ref, bq_ref,
+                ck_ref, ak_ref, bk_ref, o_ref, acc,
+                *, num_heads: int, scale: float, rope: bool):
+    q = q_ref[0].astype(jnp.float32)          # [Tq, H]
+    k = k_ref[0].astype(jnp.float32)          # [Tk, H]
+    v = v_ref[0].astype(jnp.float32)          # [Tk, H]
+    if rope:
+        q = _rot(q, cq_ref[:], aq_ref[:], bq_ref[:])
+        k = _rot(k, ck_ref[:], ak_ref[:], bk_ref[:])
+    hd = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # [Tq, Tk]
+        p = _softmax_rows(s)
+        acc[:, sl] = jnp.dot(p, v[:, sl],
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = acc[:].astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, cq_ref, aq_ref, bq_ref,
+                ck_ref, ak_ref, bk_ref, dq_ref, dk_ref, dv_ref,
+                dq_acc, dk_acc, dv_acc,
+                *, num_heads: int, scale: float, rope: bool):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    if rope:
+        q = _rot(q, cq_ref[:], aq_ref[:], bq_ref[:])
+        k = _rot(k, ck_ref[:], ak_ref[:], bk_ref[:])
+    hd = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = _softmax_rows(s)                                   # [Tq, Tk]
+        doh = do[:, sl]
+        dv_acc[:, sl] = jax.lax.dot_general(                   # pᵀ do
+            p, doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(                              # do vᵀ
+            doh, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_acc[:, sl] = jnp.dot(ds, k[:, sl],
+                                preferred_element_type=jnp.float32) * scale
+        dk_acc[:, sl] = jax.lax.dot_general(                   # dsᵀ q
+            ds, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+    dq = dq_acc[:]
+    dk = dk_acc[:]
+    if rope:
+        dq = _rot_t(dq, cq_ref[:], aq_ref[:], bq_ref[:])
+        dk = _rot_t(dk, ck_ref[:], ak_ref[:], bk_ref[:])
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _table_specs(Tq, Tk, H):
+    tq = pl.BlockSpec((Tq, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((Tk, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return [tq, tq, tq, tk, tk, tk]
+
+
+def _row_spec(T, H):
+    return pl.BlockSpec((1, T, H), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(q, k, v, tables, num_heads, scale, rope):
+    B, Tq, H = q.shape
+    Tk = k.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
+                          rope=rope),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, H), v.dtype),
+        grid=(B,),
+        in_specs=[_row_spec(Tq, H), _row_spec(Tk, H), _row_spec(Tk, H),
+                  *_table_specs(Tq, Tk, H)],
+        out_specs=_row_spec(Tq, H),
+        scratch_shapes=[pltpu.VMEM((Tq, H), jnp.float32)],
+        interpret=_use_interpret(),
+    )(q, k, v, *tables)
+
+
+def _bwd_call(q, k, v, do, tables, num_heads, scale, rope):
+    B, Tq, H = q.shape
+    Tk = k.shape[1]
+    rq, rk = _row_spec(Tq, H), _row_spec(Tk, H)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
+                          rope=rope),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tq, H), q.dtype),
+            jax.ShapeDtypeStruct((B, Tk, H), k.dtype),
+            jax.ShapeDtypeStruct((B, Tk, H), v.dtype),
+        ),
+        grid=(B,),
+        in_specs=[rq, rk, rk, rq, *_table_specs(Tq, Tk, H)],
+        out_specs=(rq, rk, rk),
+        scratch_shapes=[pltpu.VMEM((Tq, H), jnp.float32),
+                        pltpu.VMEM((Tk, H), jnp.float32),
+                        pltpu.VMEM((Tk, H), jnp.float32)],
+        interpret=_use_interpret(),
+    )(q, k, v, do, *tables)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_rope_attention(q, k, v, tables, num_heads: int,
+                         scale: float, rope: bool = True):
+    """q, k, v: [B, T, H] (heads unsplit). tables: 6-tuple of fp32 [T, H]
+    RoPE tables — (cos, a, b) for q then for k, per-head-tiled
+    (ops/rope.py:rope_tables(…, tile=num_heads)). Returns [B, Tq, H]."""
+    return _fwd_call(q, k, v, tables, num_heads, scale, rope)
+
+
+def _vjp_fwd(q, k, v, tables, num_heads, scale, rope):
+    return _fwd_call(q, k, v, tables, num_heads, scale, rope), (q, k, v, tables)
+
+
+def _vjp_bwd(num_heads, scale, rope, res, do):
+    q, k, v, tables = res
+    dq, dk, dv = _bwd_call(q, k, v, do, tables, num_heads, scale, rope)
+    return dq, dk, dv, None
+
+
+fused_rope_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+MAX_KV_LEN = 2048  # full K/V strip must fit VMEM
+
+
+def make_tables(Tq: int, Tk: int, head_dim: int, num_heads: int):
+    """The 6 fp32 tables for fused_rope_attention."""
+    from neurosync_trainer_lite_tpu.ops.rope import rope_tables
+
+    tq = rope_tables(Tq, head_dim, jnp.float32, tile=num_heads)
+    tk = rope_tables(Tk, head_dim, jnp.float32, tile=num_heads)
+    return (*tq, *tk)
