@@ -25,12 +25,22 @@ def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
-    """Inverted dropout (matches torch.nn.Dropout semantics)."""
+    """Inverted dropout (torch.nn.Dropout semantics).
+
+    Masks are drawn as uint8 thresholds instead of fp32 bernoulli: one byte
+    of randomness per element (4x less RNG/mask traffic — dropout touches
+    ~2.2e9 elements per 228M train step). The keep probability quantizes to
+    1/256 steps (rate 0.3 → effective 0.30078), immaterial for training and
+    compensated exactly by the matching inverted scale.
+    """
     if not train or rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    q = int(round(rate * 256))
+    if q <= 0:
+        return x
+    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    scale = jnp.asarray(256.0 / (256 - q), x.dtype)
+    return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
 
 
 def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
