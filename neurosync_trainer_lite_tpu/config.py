@@ -74,6 +74,16 @@ class Config:
     smoothness_annealing: bool = False  # cosine-anneal the smoothness weights
     validation_interval: int = 20    # validate every N train steps
     val_split: float = 0.1
+    grad_accum_steps: int = 1        # >1: split each batch into N sequential
+                                     # micro-batches inside the compiled step
+                                     # (fp32 grad accumulation, one optimizer
+                                     # update) — larger effective batches than
+                                     # HBM allows. batch_size must be
+                                     # divisible by N (and by N*dp when data-
+                                     # parallel). NOTE: the reference's
+                                     # 'micro_batch_size' is a window length,
+                                     # not an accumulation factor
+                                     # (SURVEY.md §2.3); this is the real thing.
 
     # --- mixed precision ------------------------------------------------------
     # The reference uses fp16 AMP + GradScaler ('use_amp', train.py:25-26).

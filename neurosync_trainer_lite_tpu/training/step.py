@@ -94,8 +94,39 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             counts = optax.tree_utils.tree_get_all_with_path(
                 state.opt_state, "count")  # adam + schedule both count steps
             step_count = counts[0][1]
-        loss, grads = jax.value_and_grad(_compute_loss)(
-            state.params, src, trg, cfg, rng, True, step_count, total_steps)
+
+        if cfg.grad_accum_steps > 1:
+            # Sequential micro-batches inside one compiled step: activations
+            # exist only for one micro-batch at a time (lax.scan), gradients
+            # accumulate fp32, a single optimizer update fires at the end.
+            A = cfg.grad_accum_steps
+            B = src.shape[0]
+            assert B % A == 0, (B, A)
+            srcs = src.reshape(A, B // A, *src.shape[1:])
+            trgs = trg.reshape(A, B // A, *trg.shape[1:])
+            keys = jax.random.split(rng, A)
+
+            def micro(carry, xs):
+                gacc, lacc = carry
+                s, t, k = xs
+                loss, grads = jax.value_and_grad(_compute_loss)(
+                    state.params, s, t, cfg, k, True, step_count, total_steps)
+                gacc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gacc, grads)
+                return (gacc, lacc + loss), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (gsum, lsum), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros((), jnp.float32)),
+                (srcs, trgs, keys))
+            grads = jax.tree.map(lambda g: g / A, gsum)
+            loss = lsum / A
+        else:
+            loss, grads = jax.value_and_grad(_compute_loss)(
+                state.params, src, trg, cfg, rng, True, step_count,
+                total_steps)
+
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
