@@ -56,22 +56,24 @@ def _softmax_rows(s):
 def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, aq_ref, bq_ref,
                 ck_ref, ak_ref, bk_ref, o_ref, acc,
                 *, num_heads: int, scale: float, rope: bool):
-    q = q_ref[0].astype(jnp.float32)          # [Tq, H]
-    k = k_ref[0].astype(jnp.float32)          # [Tk, H]
-    v = v_ref[0].astype(jnp.float32)          # [Tk, H]
-    if rope:
-        q = _rot(q, cq_ref[:], aq_ref[:], bq_ref[:])
-        k = _rot(k, ck_ref[:], ak_ref[:], bk_ref[:])
-    hd = q.shape[-1] // num_heads
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # [Tq, Tk]
-        p = _softmax_rows(s)
-        acc[:, sl] = jnp.dot(p, v[:, sl],
-                             preferred_element_type=jnp.float32)
-    o_ref[0] = acc[:].astype(o_ref.dtype)
+    rows = q_ref.shape[0]
+    for r in range(rows):
+        q = q_ref[r].astype(jnp.float32)          # [Tq, H]
+        k = k_ref[r].astype(jnp.float32)          # [Tk, H]
+        v = v_ref[r].astype(jnp.float32)          # [Tk, H]
+        if rope:
+            q = _rot(q, cq_ref[:], aq_ref[:], bq_ref[:])
+            k = _rot(k, ck_ref[:], ak_ref[:], bk_ref[:])
+        hd = q.shape[-1] // num_heads
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # [Tq, Tk]
+            p = _softmax_rows(s)
+            acc[:, sl] = jnp.dot(p, v[:, sl],
+                                 preferred_element_type=jnp.float32)
+        o_ref[r] = acc[:].astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, cq_ref, aq_ref, bq_ref,
@@ -121,22 +123,32 @@ def _table_specs(Tq, Tk, H):
     return [tq, tq, tq, tk, tk, tk]
 
 
-def _row_spec(T, H):
-    return pl.BlockSpec((1, T, H), lambda i: (i, 0, 0),
+def _row_spec(T, H, rows=1):
+    return pl.BlockSpec((rows, T, H), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _rows_per_cell(B):
+    """Batch rows per grid cell: more per-cell work pipelines the small
+    per-head MXU ops better; bounded by VMEM (4 rows ≈ 8 MB of strips)."""
+    for r in (4, 2, 1):
+        if B % r == 0:
+            return r
+    return 1
 
 
 def _fwd_call(q, k, v, tables, num_heads, scale, rope):
     B, Tq, H = q.shape
     Tk = k.shape[1]
+    rows = _rows_per_cell(B)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
                           rope=rope),
         out_shape=jax.ShapeDtypeStruct((B, Tq, H), v.dtype),
-        grid=(B,),
-        in_specs=[_row_spec(Tq, H), _row_spec(Tk, H), _row_spec(Tk, H),
-                  *_table_specs(Tq, Tk, H)],
-        out_specs=_row_spec(Tq, H),
+        grid=(B // rows,),
+        in_specs=[_row_spec(Tq, H, rows), _row_spec(Tk, H, rows),
+                  _row_spec(Tk, H, rows), *_table_specs(Tq, Tk, H)],
+        out_specs=_row_spec(Tq, H, rows),
         scratch_shapes=[pltpu.VMEM((Tq, H), jnp.float32)],
         interpret=_use_interpret(),
     )(q, k, v, *tables)

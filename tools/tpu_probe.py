@@ -37,7 +37,7 @@ def main():
     p.add_argument("--fwd-only", action="store_true")
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
-                            "fastattn", "fusedqkv"),
+                            "fastattn", "fusedqkv", "projonly", "notranspose"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
 
@@ -66,6 +66,23 @@ def main():
     elif args.patch == "noffn":
         from neurosync_trainer_lite_tpu.models import seq2seq
         seq2seq._ffn = lambda p, x, **kw: x
+    elif args.patch == "projonly":
+        # attention = projections + rope only; sdpa + head split skipped
+        from neurosync_trainer_lite_tpu.ops import attention as am
+        from neurosync_trainer_lite_tpu.models import seq2seq
+        from neurosync_trainer_lite_tpu.ops.rope import rope_qk_preheads
+
+        def mha(params, query, key, value, *, num_heads, dropout_rate=0.0,
+                rng=None, train=False, use_rope=True, impl="auto"):
+            q = am._linear(query, params["q"])
+            k = am._linear(key, params["k"])
+            v = am._linear(value, params["v"])
+            if use_rope:
+                q, k = rope_qk_preheads(q, k, num_heads)
+            return am._linear(v + 0.0 * (q + k), params["out"])
+
+        am.multi_head_attention = mha
+        seq2seq.multi_head_attention = mha
     elif args.patch in ("fastattn", "fusedqkv"):
         import jax.numpy as jnp
         from neurosync_trainer_lite_tpu.ops import attention as attn_mod
