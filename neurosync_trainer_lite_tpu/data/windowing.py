@@ -129,9 +129,13 @@ def _iterate(base: WindowedDataset, idxs: np.ndarray, batch_size: int, *,
     if shuffle:
         order = np.random.default_rng(seed).permutation(order)
     n = len(order)
-    if wrap and n % batch_size != 0 and n >= batch_size:
-        # pad the final batch by wrapping to keep shapes static for jit
-        order = np.concatenate([order, order[: batch_size - n % batch_size]])
+    if wrap and n > 0 and n % batch_size != 0:
+        # pad the final batch by cycling indices to keep shapes static for
+        # jit and divisible for mesh sharding — also when the whole view is
+        # smaller than one batch (tiny validation splits)
+        pad = batch_size - n % batch_size
+        reps = np.concatenate([order] * (pad // n + 1))
+        order = np.concatenate([order, reps[:pad]])
     stop = (n // batch_size * batch_size) if drop_last else len(order)
     for i in range(0, stop, batch_size):
         chunk = order[i: i + batch_size]

@@ -23,10 +23,12 @@ default; lower `frame_size`/raise `overlap` for lower-latency interactive use
 Feature-extraction caveat: the MFCC pipeline normalizes cepstra with
 *clip-global* mean/variance (CMVN, reference extract_features_utils.py:5-8),
 so feature rows are only exactly reproducible given the whole clip. The
-streamer recomputes features over the full buffered audio on each push (the
+streamer recomputes features over its buffered audio on each push (the
 frontend is device-batched and cheap relative to the model) and decodes each
 window with the freshest statistics; already-finalized frames are never
-revised. Offline and streaming outputs therefore agree to CMVN-drift
+revised. Consumed audio beyond a context margin is dropped
+(TRIM_THRESHOLD/MARGIN), so live sessions run in bounded memory with bounded
+per-push work. Offline and streaming outputs therefore agree to CMVN-drift
 tolerance, not bit-exactly — and tail frames use blended (not the offline
 path's concatenated) semantics.
 """
@@ -46,6 +48,11 @@ from neurosync_trainer_lite_tpu.inference.chunked import (
 class BlendshapeStreamer:
     """Incremental wav→blendshape decoder with overlap-blend continuity."""
 
+    #: drop consumed audio once this many finalized frames accumulate
+    TRIM_THRESHOLD_FRAMES = 512
+    #: frames of context kept behind the consumption point when trimming
+    TRIM_MARGIN_FRAMES = 64
+
     def __init__(self, params, cfg: Config, *, extract_features=None):
         from neurosync_trainer_lite_tpu.data.processing import (
             extract_audio_features)
@@ -54,11 +61,17 @@ class BlendshapeStreamer:
         self.cfg = cfg
         self._extract = extract_features or (
             lambda y: extract_audio_features(y, cfg.sr)[0])
-        self._audio = np.zeros((0,), np.float32)      # raw samples not yet final
+        self._audio = np.zeros((0,), np.float32)      # buffered samples
         self._features = np.zeros((0, cfg.input_dim), np.float32)
         self._pending: np.ndarray | None = None       # provisional tail frames
         self._emitted: list[np.ndarray] = []
         self._consumed_frames = 0                     # features already decoded
+        # one 60 fps output frame spans exactly frame_length samples when the
+        # frontend's two 120 fps hops tile it (frame_length even, the default
+        # sr=88200 → 1470); trimming relies on that alignment
+        self._frame_samples = int(0.01667 * cfg.sr)
+        self._can_trim = (extract_features is None
+                          and self._frame_samples % 2 == 0)
 
     # -- feeding ------------------------------------------------------------
 
@@ -69,7 +82,23 @@ class BlendshapeStreamer:
         self._refresh_features()
         before = self.frames_ready
         self._drain(final=False)
+        self._maybe_trim()
         return self.frames_ready - before
+
+    def _maybe_trim(self) -> None:
+        """Drop audio behind the consumption point so live sessions run in
+        bounded memory with bounded per-push work. A margin of context frames
+        stays so re-extracted features match (up to the documented CMVN
+        drift); 60 fps frame i starts at sample i·frame_samples, so dropping
+        m frames of audio shifts indices by exactly m."""
+        if not self._can_trim:
+            return
+        excess = self._consumed_frames - self.TRIM_MARGIN_FRAMES
+        if excess < self.TRIM_THRESHOLD_FRAMES:
+            return
+        self._audio = self._audio[excess * self._frame_samples:]
+        self._consumed_frames -= excess
+        self._refresh_features()
 
     def flush(self) -> None:
         """Finalize everything buffered (end of stream)."""

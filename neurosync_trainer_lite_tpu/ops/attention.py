@@ -38,6 +38,8 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
     q = int(round(rate * 256))
     if q <= 0:
         return x
+    if q >= 256:  # rate ≈ 1.0: everything dropped (torch nn.Dropout(1.0))
+        return jnp.zeros_like(x)
     bits = jax.random.bits(rng, x.shape, jnp.uint8)
     scale = jnp.asarray(256.0 / (256 - q), x.dtype)
     return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
@@ -57,11 +59,10 @@ def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
     from neurosync_trainer_lite_tpu.ops import flash_attention as fa
 
     scale = q.shape[-1] ** -0.5
-    drop_active = train and dropout_rate > 0.0 and rng is not None
     kv_len = k.shape[-2]
     use_pallas = impl == "pallas" or (
         impl == "auto" and kv_len >= fa.MIN_KV_LEN_AUTO)
-    if use_pallas and not drop_active and kv_len <= fa.MAX_KV_LEN:
+    if use_pallas and fa.supports(kv_len, dropout_rate if train else 0.0, rng):
         return fa.flash_attention(q, k, v, scale)
 
     # Scores accumulate in fp32 on the MXU regardless of input dtype.
@@ -106,10 +107,12 @@ def multi_head_attention(
     else:
         rng_attn = rng_resid = None
 
+    from neurosync_trainer_lite_tpu.ops import fused_attention as fua
+
     drop_active = train and dropout_rate > 0.0 and rng_attn is not None
     Tk = k.shape[1]
     if (impl == "pallas" and not drop_active and use_rope
-            and Tk <= 2048 and h % 2 == 0):
+            and Tk <= fua.MAX_KV_LEN and h % 2 == 0):
         # Fully-fused core: RoPE + per-head scores/softmax/·v in one Pallas
         # kernel on unsplit [B, T, H] (no head-split relayouts, no [T, T]
         # HBM traffic). Opt-in only: measured 70.2 vs 63.2 ms fwd against

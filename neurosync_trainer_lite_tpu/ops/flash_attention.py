@@ -175,7 +175,6 @@ def _vjp_bwd(scale, res, do):
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def supports(q_shape, dropout_rate: float, rng) -> bool:
-    """Whether the kernel path applies (no attention dropout, VMEM-fit T)."""
-    Tq, Tk = q_shape[-2], q_shape[-2]
-    return (dropout_rate == 0.0 or rng is None) and Tk <= MAX_KV_LEN
+def supports(kv_len: int, dropout_rate: float, rng) -> bool:
+    """Whether the kernel path applies (no attention dropout, K/V fit VMEM)."""
+    return (dropout_rate == 0.0 or rng is None) and kv_len <= MAX_KV_LEN

@@ -86,15 +86,22 @@ def _savgol_constants(width: int, order: int):
 
 
 def _frame_half_overlap(y: jnp.ndarray, frame_length: int) -> jnp.ndarray:
-    """Frame with hop = frame_length//2 via block reshape: [T, frame_length].
+    """Frame with hop = frame_length//2: [T, frame_length].
 
-    y must already be padded; trailing samples that don't fill a block are
-    dropped exactly like strided framing would.
+    y must already be padded. For even frame_length (2·hop == frame_length,
+    the default sr=88200 → 1470) the half-overlap frames are a free block
+    reshape + concat; odd frame lengths (e.g. sr=44100 → 735) fall back to a
+    strided gather, matching librosa.util.frame's hop arithmetic exactly.
     """
     hop = frame_length // 2
-    n_blocks = y.shape[0] // hop
-    blocks = y[: n_blocks * hop].reshape(n_blocks, hop)
-    return jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+    if frame_length % 2 == 0:
+        n_blocks = y.shape[0] // hop
+        blocks = y[: n_blocks * hop].reshape(n_blocks, hop)
+        return jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+    n_frames = 1 + (y.shape[0] - frame_length) // hop
+    idx = (jnp.arange(n_frames)[:, None] * hop
+           + jnp.arange(frame_length)[None, :])
+    return y[idx]
 
 
 def _savgol_delta(x: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:

@@ -68,9 +68,11 @@ def rope_tables(seq_len: int, dim: int, dtype=jnp.float32, tile: int = 1):
 def apply_rope(x: jnp.ndarray, tables) -> jnp.ndarray:
     """Rotate interleaved pairs of the trailing dim.
 
-    x: [..., T, d']; tables from rope_tables with matching [T, d'].
+    x: [..., T, d']; tables from rope_tables with matching [T, d'] (always
+    fp32 — the rotation angles must not be quantized to the compute dtype).
     On TPU this dispatches to the single-pass Pallas kernel
-    (ops/rope_pallas.py); elsewhere the XLA roll formulation runs.
+    (ops/rope_pallas.py, fp32 in-register math); elsewhere the XLA roll
+    formulation runs with the tables cast to x.dtype at apply time.
     """
     cos_full, sin_even, sin_odd = tables
     import jax
@@ -80,11 +82,12 @@ def apply_rope(x: jnp.ndarray, tables) -> jnp.ndarray:
 
         lead = x.shape[:-2]
         x3 = x.reshape((-1,) + x.shape[-2:])
-        out = rope_rotate(x3, cos_full.astype(jnp.float32),
-                          sin_even.astype(jnp.float32),
-                          sin_odd.astype(jnp.float32))
+        out = rope_rotate(x3, cos_full, sin_even, sin_odd)
         return out.reshape(lead + x.shape[-2:])
 
+    cos_full = cos_full.astype(x.dtype)
+    sin_even = sin_even.astype(x.dtype)
+    sin_odd = sin_odd.astype(x.dtype)
     left = jnp.roll(x, -1, axis=-1)    # even lanes see x[2i+1]
     right = jnp.roll(x, 1, axis=-1)    # odd lanes see x[2i]
     return x * cos_full + left * sin_even + right * sin_odd
@@ -96,7 +99,7 @@ def rope_embed(x: jnp.ndarray) -> jnp.ndarray:
     x: [B, T, d_model]. Rotation angles use d = d_model.
     """
     seq_len, d = x.shape[-2], x.shape[-1]
-    return apply_rope(x, rope_tables(seq_len, d, x.dtype))
+    return apply_rope(x, rope_tables(seq_len, d))
 
 
 def rope_qk_preheads(q: jnp.ndarray, k: jnp.ndarray, num_heads: int):
@@ -107,13 +110,13 @@ def rope_qk_preheads(q: jnp.ndarray, k: jnp.ndarray, num_heads: int):
     q, k: [B, T, H] with H = num_heads * head_dim.
     """
     head_dim = q.shape[-1] // num_heads
-    tq = rope_tables(q.shape[-2], head_dim, q.dtype, tile=num_heads)
-    tk = rope_tables(k.shape[-2], head_dim, k.dtype, tile=num_heads)
+    tq = rope_tables(q.shape[-2], head_dim, tile=num_heads)
+    tk = rope_tables(k.shape[-2], head_dim, tile=num_heads)
     return apply_rope(q, tq), apply_rope(k, tk)
 
 
 def rope_qk(q: jnp.ndarray, k: jnp.ndarray):
     """Per-head RoPE on already-split q/k: [B, n_heads, T, head_dim]."""
     d = q.shape[-1]
-    return (apply_rope(q, rope_tables(q.shape[-2], d, q.dtype)),
-            apply_rope(k, rope_tables(k.shape[-2], d, k.dtype)))
+    return (apply_rope(q, rope_tables(q.shape[-2], d)),
+            apply_rope(k, rope_tables(k.shape[-2], d)))

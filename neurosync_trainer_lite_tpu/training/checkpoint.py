@@ -75,8 +75,11 @@ def load_checkpoint(checkpoint_path: str, cfg: Config, steps_per_epoch: int,
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
 
-    template, _ = init_train_state(cfg, steps_per_epoch,
-                                   rng=jax.random.PRNGKey(0))
+    # abstract template only — eval_shape avoids materializing ~2.7 GB of
+    # random params + Adam moments on the chip just to throw them away
+    template = jax.eval_shape(
+        lambda: init_train_state(cfg, steps_per_epoch,
+                                 rng=jax.random.PRNGKey(0))[0])
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     if shardings is not None:
         abstract = jax.tree.map(

@@ -119,3 +119,15 @@ def test_too_short_returns_none():
     assert feats is None
     feats, _ = extract_audio_features_jax(y, SR)
     assert feats is None
+
+
+def test_jax_matches_numpy_odd_frame_length(speechlike):
+    """sr=44100 gives an odd frame_length (735) — the device frontend must
+    use the strided-gather framing path and still match the host oracle."""
+    sr = 44100
+    y = speechlike[: sr * 2]
+    ref, _ = F.extract_audio_features_np(y, sr)
+    ours, _ = extract_audio_features_jax(y, sr)
+    assert ours is not None and ref is not None
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=2e-3)

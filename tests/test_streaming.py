@@ -92,3 +92,47 @@ def test_empty_and_short_streams(setup):
     s2.push_audio(np.random.default_rng(2).standard_normal(10 * spf).astype(np.float32))
     s2.flush()
     assert s2.pop_frames().shape == (10, cfg.output_dim)
+
+
+def test_trimming_bounds_buffer_and_preserves_output(setup):
+    cfg, params = setup
+    extract = _feature_oracle(cfg)
+    spf = cfg.sr // 60
+
+    def run(threshold):
+        s = BlendshapeStreamer(params, cfg, extract_features=extract)
+        # the oracle bypasses the real frontend, so opt trimming back in and
+        # make the oracle position-independent over trims by deriving
+        # features from absolute sample count fed so far
+        s._can_trim = True
+        s.TRIM_THRESHOLD_FRAMES = threshold
+        s.TRIM_MARGIN_FRAMES = 16
+        s._frame_samples = spf
+        base = {"n": 0}
+
+        def extract_abs(y):
+            n = len(y) // spf
+            if n == 0:
+                return None
+            start = base["n"] - len(y)
+            t = (np.arange(n, dtype=np.float32) + start / spf)[:, None]
+            f = np.arange(cfg.input_dim, dtype=np.float32)[None, :]
+            return np.sin(0.01 * t * (1 + f)).astype(np.float32)
+
+        s._extract = lambda y: extract_abs(y)
+        audio = np.zeros(400 * spf, np.float32)
+        out = []
+        for i in range(0, len(audio), 20 * spf):
+            chunk = audio[i: i + 20 * spf]
+            base["n"] += len(chunk)
+            s.push_audio(chunk)
+            out.append(s.pop_frames())
+        s.flush()
+        out.append(s.pop_frames())
+        return np.concatenate(out), len(s._audio)
+
+    frames_trim, buf_trim = run(threshold=64)
+    frames_none, buf_none = run(threshold=10**9)
+    assert frames_trim.shape == frames_none.shape
+    np.testing.assert_allclose(frames_trim, frames_none, atol=1e-5)
+    assert buf_trim < buf_none, (buf_trim, buf_none)
