@@ -1,0 +1,71 @@
+"""Offline inference CLI: wav → LiveLink blendshape CSV (+ optional stats).
+
+    python -m neurosync_trainer_lite_tpu.infer --wav speech.wav \
+        --model out/model.pth --out shapes.csv \
+        [--ground-truth truth.csv --stats stats.txt] [--smooth] [--platform cpu]
+
+The reference has no offline inference entry point — inference runs only
+inside per-epoch validation (reference: utils/validation.py:14-42) or via the
+external API repo; this CLI exposes the same path standalone.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="neurosync_trainer_lite_tpu.infer",
+        description="audio file → 61-dim ARKit blendshape CSV at 60 fps")
+    parser.add_argument("--wav", required=True)
+    parser.add_argument("--model", default="out/model.pth")
+    parser.add_argument("--out", default="generated.csv")
+    parser.add_argument("--ground-truth", default=None,
+                        help="LiveLink CSV to compare against")
+    parser.add_argument("--stats", default=None,
+                        help="where to write comparison stats (needs --ground-truth)")
+    parser.add_argument("--smooth", action="store_true",
+                        help="pair-average smoothing (reference: generate_face_shapes.py:22)")
+    parser.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny 4-layer model geometry")
+    from neurosync_trainer_lite_tpu.train import _add_config_flags
+
+    _add_config_flags(parser)  # model geometry must match the checkpoint
+    args = parser.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    from neurosync_trainer_lite_tpu.config import Config, tiny_config
+    from neurosync_trainer_lite_tpu.inference.api import (
+        generate_facial_data_from_bytes)
+    from neurosync_trainer_lite_tpu.training.checkpoint import load_model
+    from neurosync_trainer_lite_tpu.utils.csv_io import (
+        save_generated_data_as_csv)
+
+    base = tiny_config().to_dict() if args.tiny else {}
+    base.update({f.name: getattr(args, f.name)
+                 for f in dataclasses.fields(Config)
+                 if getattr(args, f.name, None) is not None})
+    cfg = Config.from_dict(base)
+    params = load_model(args.model, cfg)
+    with open(args.wav, "rb") as f:
+        frames = generate_facial_data_from_bytes(
+            f.read(), params, cfg, use_smoothing=args.smooth)
+    save_generated_data_as_csv(frames, args.out)
+    print(f"{len(frames)} frames → {args.out}")
+
+    if args.ground_truth:
+        from neurosync_trainer_lite_tpu.utils.stats import save_comparison_stats
+
+        stats_path = args.stats or (args.out.rsplit(".", 1)[0] + "_stats.txt")
+        save_comparison_stats(args.out, args.ground_truth, stats_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""HTTP serving front-end and the offline inference CLI, driven for real."""
+
+import io
+import json
+import os
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from neurosync_trainer_lite_tpu.config import tiny_config
+from neurosync_trainer_lite_tpu.inference.server import serve
+from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+from neurosync_trainer_lite_tpu.training.checkpoint import save_final_model
+
+
+def _wav_bytes(sr, seconds=1.5):
+    t = np.arange(int(sr * seconds)) / sr
+    y = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((y * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = tiny_config(frame_size=32, overlap=8)
+    return cfg, init_seq2seq(jax.random.PRNGKey(0), cfg)
+
+
+def test_http_server_roundtrip(cfg_params):
+    cfg, params = cfg_params
+    httpd = serve(params, cfg, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r) == {"ok": True}
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/audio_to_blendshapes",
+            data=_wav_bytes(cfg.sr), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.load(r)
+        frames = np.asarray(payload["blendshapes"])
+        assert frames.shape[1] == cfg.output_dim
+        assert payload["fps"] == 60
+        assert 80 <= frames.shape[0] <= 100  # ~90 frames of 1.5 s at 60 fps
+
+        # bad request → 400, server stays up
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/audio_to_blendshapes",
+            data=b"not audio", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"]
+    finally:
+        httpd.shutdown()
+
+
+def test_infer_cli(cfg_params, tmp_path):
+    cfg, params = cfg_params
+    model_path = str(tmp_path / "model.pth")
+    save_final_model(params, cfg, model_path)
+    wav_path = str(tmp_path / "in.wav")
+    with open(wav_path, "wb") as f:
+        f.write(_wav_bytes(cfg.sr))
+    out_path = str(tmp_path / "out.csv")
+
+    from neurosync_trainer_lite_tpu import infer as infer_cli
+
+    infer_cli.main(["--wav", wav_path, "--model", model_path,
+                    "--out", out_path, "--tiny",
+                    "--frame_size", str(cfg.frame_size),
+                    "--overlap", str(cfg.overlap)])
+
+    assert os.path.exists(out_path)
+    import pandas as pd
+
+    df = pd.read_csv(out_path)
+    assert df.shape[1] == 2 + 61  # Timecode, BlendshapeCount, 61 dims
+    assert len(df) > 0
