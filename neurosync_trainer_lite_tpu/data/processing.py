@@ -26,6 +26,10 @@ from neurosync_trainer_lite_tpu.utils.audio_io import load_and_preprocess_audio
 
 COLUMNS_TO_DROP = ["Timecode", "BlendshapeCount"]
 
+# blendshapes train in x100 space and serve in LiveLink [0,1] space
+# (reference: data_processing.py:68 and audio_processing.py:102)
+BLENDSHAPE_SCALE = 100.0
+
 # dims that are pure noise in Lite capture (blinks/neck), for the optional
 # zeroing helpers (reference: data_processing.py:208-219)
 SPECIFIED_COLUMNS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
@@ -189,7 +193,7 @@ def process_folder(folder_path: str, sr: int,
         facial_data = scale_facial_data(facial_data)
 
     facial_data = np.asarray(facial_data, dtype=np.float64)
-    facial_data[:, :61] *= 100  # training-space scaling (reference: :68)
+    facial_data[:, :61] *= BLENDSHAPE_SCALE  # training space (reference: :68)
 
     if apply_smoothing:
         facial_data = smooth_facial_data(facial_data)

@@ -30,7 +30,8 @@ def main(argv=None):
     parser.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     parser.add_argument("--tiny", action="store_true",
                         help="tiny 4-layer model geometry")
-    from neurosync_trainer_lite_tpu.train import _add_config_flags
+    from neurosync_trainer_lite_tpu.train import (
+        _add_config_flags, config_from_args)
 
     _add_config_flags(parser)  # model geometry must match the checkpoint
     args = parser.parse_args(argv)
@@ -39,20 +40,13 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import dataclasses
-
-    from neurosync_trainer_lite_tpu.config import Config, tiny_config
     from neurosync_trainer_lite_tpu.inference.api import (
         generate_facial_data_from_bytes)
     from neurosync_trainer_lite_tpu.training.checkpoint import load_model
     from neurosync_trainer_lite_tpu.utils.csv_io import (
         save_generated_data_as_csv)
 
-    base = tiny_config().to_dict() if args.tiny else {}
-    base.update({f.name: getattr(args, f.name)
-                 for f in dataclasses.fields(Config)
-                 if getattr(args, f.name, None) is not None})
-    cfg = Config.from_dict(base)
+    cfg = config_from_args(args)
     params = load_model(args.model, cfg)
     with open(args.wav, "rb") as f:
         frames = generate_facial_data_from_bytes(

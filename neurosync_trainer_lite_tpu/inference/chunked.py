@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.data.processing import BLENDSHAPE_SCALE
 from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
 
 
@@ -136,5 +137,5 @@ def process_audio_features(audio_features: np.ndarray, params, cfg: Config,
     final = np.concatenate(outputs, axis=0)[:num_frames]
     if final.ndim == 3:
         final = final.reshape(-1, final.shape[-1])
-    final[:, :61] /= 100  # back to LiveLink space (reference: :102)
+    final[:, :61] /= BLENDSHAPE_SCALE  # back to LiveLink space (reference: :102)
     return final

@@ -38,6 +38,7 @@ from __future__ import annotations
 import numpy as np
 
 from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.data.processing import BLENDSHAPE_SCALE
 from neurosync_trainer_lite_tpu.inference.chunked import (
     blend_chunks,
     decode_chunks_batched,
@@ -122,12 +123,11 @@ class BlendshapeStreamer:
     # -- internals ----------------------------------------------------------
 
     def _refresh_features(self) -> None:
-        """Extract features over the buffered audio suffix.
+        """Re-extract features over the (bounded) audio buffer.
 
-        The feature frontend needs a minimum context; features for already-
-        consumed frames are stable because extraction is windowed with no
-        lookahead beyond one frame, so we recompute the suffix and keep
-        previously consumed rows untouched.
+        CMVN makes early rows drift slightly as audio accrues (documented in
+        the module docstring); the refresh is skipped only when extraction
+        yields nothing new beyond the consumption point.
         """
         feats = self._extract(self._audio)
         if feats is None:
@@ -139,7 +139,6 @@ class BlendshapeStreamer:
     def _drain(self, *, final: bool) -> None:
         cfg = self.cfg
         frame_len, overlap = cfg.frame_size, cfg.overlap
-        stride = frame_len - overlap
         while True:
             avail = len(self._features) - self._consumed_frames
             if avail <= 0:
@@ -173,5 +172,5 @@ class BlendshapeStreamer:
         if len(frames) == 0:
             return
         out = np.array(frames, np.float64)
-        out[:, :61] /= 100  # LiveLink space (reference: audio_processing.py:102)
+        out[:, :61] /= BLENDSHAPE_SCALE  # LiveLink space (reference: audio_processing.py:102)
         self._emitted.append(out)

@@ -118,11 +118,8 @@ def multi_head_attention(
         # HBM traffic). Opt-in only: measured 70.2 vs 63.2 ms fwd against
         # the XLA path at this model's T=128 — the per-head 128×64 matmuls
         # can't beat XLA's batched scheduling (docs/PERF.md).
-        from neurosync_trainer_lite_tpu.ops.fused_attention import (
-            fused_rope_attention, make_tables)
-
-        tables = make_tables(Tq, Tk, h, num_heads)
-        out = fused_rope_attention(q, k, v, tables, num_heads, h ** -0.5)
+        tables = fua.make_tables(Tq, Tk, h, num_heads)
+        out = fua.fused_rope_attention(q, k, v, tables, num_heads, h ** -0.5)
     else:
         # Per-head RoPE at full [B, T, H] lane width, before the head split
         # (mathematically identical to rotating each head after the split).

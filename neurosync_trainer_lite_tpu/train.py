@@ -48,18 +48,21 @@ def parse_config(argv=None) -> tuple[Config, argparse.Namespace]:
                         choices=("cpu", "tpu"),
                         help="force a JAX backend (e.g. cpu for a smoke run)")
     args = parser.parse_args(argv)
+    return config_from_args(args), args
 
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    """Merge parsed `_add_config_flags` values over the (tiny) base config."""
     base = {}
-    if args.tiny:
+    if getattr(args, "tiny", False):
         from neurosync_trainer_lite_tpu.config import tiny_config
         base = tiny_config().to_dict()
-    overrides = {
+    base.update({
         f.name: getattr(args, f.name)
         for f in dataclasses.fields(Config)
         if getattr(args, f.name, None) is not None
-    }
-    base.update(overrides)
-    return Config.from_dict(base), args
+    })
+    return Config.from_dict(base)
 
 
 def main(argv=None) -> None:

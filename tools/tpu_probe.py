@@ -50,7 +50,6 @@ def main():
     elif args.patch == "nosoftmax":
         import jax.nn
         from neurosync_trainer_lite_tpu.ops import attention
-        _orig = attention.sdpa
         def sdpa_nosm(q, k, v, **kw):
             import jax.numpy as jnp
             scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
