@@ -185,10 +185,21 @@ def mfcc_features(y: np.ndarray, sr: int, frame_length: int, hop_length: int,
 # ---------------------------------------------------------------------------
 
 
+def compute_autocorr_with_deltas(autocorr_base: np.ndarray) -> np.ndarray:
+    """[3C, T]: autocorr stacked with delta + delta² rows — the reference's
+    optional (off-by-default) include_deltas variant
+    (reference: extract_features_utils.py:131-135)."""
+    return np.vstack([autocorr_base,
+                      delta(autocorr_base, 9, 1),
+                      delta(autocorr_base, 9, 2)])
+
+
 def autocorr_features(y: np.ndarray, frame_length: int, hop_length: int,
-                      num_coeff: int = 187) -> np.ndarray:
+                      num_coeff: int = 187,
+                      include_deltas: bool = False) -> np.ndarray:
     """[T60, 187] zero-lag-normalized autocorrelation lags 1..187
-    (reference: extract_features_utils.py:54-113,116-128)."""
+    (reference: extract_features_utils.py:54-113,116-128); include_deltas=True
+    gives the reference's unused [T60, 561] delta-stacked variant (:116-128)."""
     pad = frame_length // 2
     y_pad = np.pad(y, pad, mode="reflect")
     frames = frame_signal(y_pad, frame_length, hop_length)      # [T, L]
@@ -215,6 +226,8 @@ def autocorr_features(y: np.ndarray, frame_length: int, hop_length: int,
     if np.all(np.abs(ac[:, -1]) < 1e-7):
         ac[:, -1] = ac[:, -2]
 
+    if include_deltas:
+        ac = compute_autocorr_with_deltas(ac)
     return reduce_features(ac).T
 
 

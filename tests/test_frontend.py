@@ -131,3 +131,13 @@ def test_jax_matches_numpy_odd_frame_length(speechlike):
     assert ours is not None and ref is not None
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_autocorr_include_deltas_variant(speechlike):
+    """The reference's off-by-default delta-stacked autocorr
+    (extract_features_utils.py:116-135): 3x the lag rows."""
+    fl = int(0.01667 * SR)
+    base = F.autocorr_features(speechlike, fl, fl // 2)
+    with_d = F.autocorr_features(speechlike, fl, fl // 2, include_deltas=True)
+    assert with_d.shape == (base.shape[0], base.shape[1] * 3)
+    np.testing.assert_allclose(with_d[:, :187], base, atol=1e-6)
