@@ -116,6 +116,10 @@ class Config:
                                      # threefry); 'threefry' for bitwise
                                      # cross-platform reproducibility
     remat: bool = False              # jax.checkpoint the encoder/decoder layers
+    auto_remat: bool = True          # train_model may turn remat on by itself
+                                     # when the activation estimate exceeds
+                                     # device HBM (prints a notice); set False
+                                     # to force the configured remat setting
     remat_policy: str = "full"       # 'full' | 'dots' — 'dots' saves MXU
                                      # results and recomputes only elementwise
                                      # work (cheaper bwd than full remat)

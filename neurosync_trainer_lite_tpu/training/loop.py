@@ -135,6 +135,71 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
     return state, batch_step, mean_loss
 
 
+def estimate_step_hbm_bytes(cfg: Config, n_data_shards: int = 1) -> int:
+    """Rough peak-HBM estimate for one no-remat train step (per device).
+
+    Calibrated against the measured 20.9 GB peak of the 228M model at
+    batch 128 × 128 frames on v5e (docs/PERF.md): bf16 activations
+    ≈ 2·B·T·H·(25·L_enc + 35·L_dec) plus fp32 params + grads + Adam moments
+    ≈ 16·n_params bytes. Used only to decide auto-remat — an over-estimate
+    merely trades ~10% step time for not OOMing.
+    """
+    B = max(1, cfg.batch_size // max(1, n_data_shards))
+    if cfg.grad_accum_steps > 1:
+        B = max(1, B // cfg.grad_accum_steps)
+    acts = 2 * B * cfg.micro_batch_size * cfg.hidden_dim * (60 * cfg.n_layers)
+    n_params = (cfg.input_dim * cfg.hidden_dim
+                + cfg.n_layers * 28 * cfg.hidden_dim * cfg.hidden_dim
+                + cfg.hidden_dim * cfg.output_dim)
+    return acts + 16 * n_params
+
+
+# per-device HBM by device_kind, for backends that expose no memory_stats
+# (e.g. the axon tunnel); values in bytes
+_HBM_BY_KIND = {
+    "TPU v3": 16e9,           # per core
+    "TPU v4": 32e9,
+    "TPU v5 lite": 16e9,      # v5e
+    "TPU v5e": 16e9,
+    "TPU v5p": 95e9,
+    "TPU v6 lite": 32e9,      # Trillium
+    "TPU v6e": 32e9,
+}
+
+
+def _device_hbm_limit() -> int | None:
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+        if dev.platform == "tpu":
+            kind = getattr(dev, "device_kind", "")
+            for name, hbm in _HBM_BY_KIND.items():
+                if kind.startswith(name):
+                    return int(hbm)
+        return None
+    except Exception:  # CPU / backends without memory stats
+        return None
+
+
+def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
+    """Turn on decoder-scope remat when the no-remat step won't fit HBM."""
+    if cfg.remat or not cfg.auto_remat:
+        return cfg
+    limit = _device_hbm_limit()
+    if limit is None:
+        return cfg
+    need = estimate_step_hbm_bytes(cfg, n_data_shards)
+    if need <= 0.85 * limit:
+        return cfg
+    if verbose:
+        print(f"auto-remat: estimated step needs ~{need/1e9:.1f} GB of "
+              f"~{limit/1e9:.1f} GB HBM — enabling remat_scope='decoder' "
+              f"(set auto_remat=False to override)")
+    return cfg.replace(remat=True, remat_scope="decoder")
+
+
 def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
                 save_artifacts=True):
     """End-to-end training (reference: train.py:12-58 + __main__:61-104).
@@ -149,6 +214,10 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
     if mesh is None and (cfg.tp > 1 or cfg.dp > 1 or
                          (cfg.dp == -1 and len(jax.devices()) > 1)):
         mesh = make_mesh(cfg)
+
+    n_data_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["data"] \
+        if mesh is not None else 1
+    cfg = _maybe_auto_remat(cfg, n_data_shards, verbose)
 
     state, tx = init_train_state(cfg, steps_per_epoch)
     if verbose:

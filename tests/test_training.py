@@ -151,3 +151,34 @@ def test_tensor_parallel_forward_matches():
                               jax.device_put(src, batch_sharding(mesh)),
                               jax.device_put(trg, batch_sharding(mesh))))
     assert abs(loss_rep - loss_tp) < 1e-5
+
+
+def test_auto_remat_estimator():
+    """Calibration + decision logic of the auto-remat memory planner."""
+    from neurosync_trainer_lite_tpu.config import full_config
+    from neurosync_trainer_lite_tpu.training.loop import (
+        _maybe_auto_remat, estimate_step_hbm_bytes)
+    import neurosync_trainer_lite_tpu.training.loop as loop_mod
+
+    # 228M @ b128: estimate must land in the measured 17-25 GB band
+    est = estimate_step_hbm_bytes(full_config())
+    assert 17e9 < est < 25e9, est
+
+    orig = loop_mod._device_hbm_limit
+    try:
+        loop_mod._device_hbm_limit = lambda: 16_000_000_000  # a v5e
+        cfg = _maybe_auto_remat(full_config(), 1, verbose=False)
+        assert cfg.remat and cfg.remat_scope == "decoder"
+        # explicit opt-out respected
+        cfg = _maybe_auto_remat(full_config(auto_remat=False), 1, False)
+        assert not cfg.remat
+        # plenty of memory (v5p-class): untouched
+        loop_mod._device_hbm_limit = lambda: 95_000_000_000
+        cfg = _maybe_auto_remat(full_config(), 1, False)
+        assert not cfg.remat
+        # data-parallel shards shrink the per-device batch below the line
+        loop_mod._device_hbm_limit = lambda: 16_000_000_000
+        cfg = _maybe_auto_remat(full_config(dp=8), 8, False)
+        assert not cfg.remat
+    finally:
+        loop_mod._device_hbm_limit = orig
