@@ -124,22 +124,29 @@ def plot_comparison(ground_truth_path: str, generated_path: str,
 
 def split_csv_by_frames(input_csv_path: str, output_dir: str,
                         num_chunks: int = 4) -> list[str]:
-    """Offline utility: split a capture CSV into equal chunks with mirror
-    padding on the last chunk (reference: split_csv.py:7-38)."""
+    """Offline utility: split a capture CSV into chunks
+    (reference: split_csv.py:7-38, semantics preserved exactly — including
+    its quirks: when the row count isn't divisible, the whole frame is first
+    mirror-padded to a multiple of num_chunks, but chunk_size stays
+    floor(pre-pad/num_chunks), so the LAST chunk absorbs every padded and
+    remainder row and comes out larger than the others)."""
     import os
 
     df = pd.read_csv(input_csv_path)
-    chunk_size = (len(df) + num_chunks - 1) // num_chunks
+    total = len(df)
+    chunk_size = total // num_chunks
+    remainder = total % num_chunks
+    if remainder != 0:
+        padding = df.iloc[-(num_chunks - remainder):].iloc[::-1]
+        df = pd.concat([df, padding], ignore_index=True)
+    total = len(df)
+
     os.makedirs(output_dir, exist_ok=True)
     paths = []
     for i in range(num_chunks):
-        chunk = df.iloc[i * chunk_size: (i + 1) * chunk_size]
-        if len(chunk) == 0:
-            break
-        if len(chunk) < chunk_size:
-            pad_len = chunk_size - len(chunk)
-            mirror = chunk.iloc[::-1].iloc[:pad_len]
-            chunk = pd.concat([chunk, mirror], ignore_index=True)
+        start = i * chunk_size
+        end = (i + 1) * chunk_size if i < num_chunks - 1 else total
+        chunk = df[start:end]
         path = os.path.join(output_dir,
                             f"{os.path.basename(input_csv_path)[:-4]}_part{i + 1}.csv")
         chunk.to_csv(path, index=False)

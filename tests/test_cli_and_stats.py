@@ -86,3 +86,32 @@ def test_stats_guards():
     overall, per_dim = compute_comparison_stats(gen, gt)
     assert overall["Mean Absolute Error (MAE)"] == 0.0
     assert np.isnan(overall["Correlation Coefficient (r)"])
+
+
+def test_split_csv_by_frames(tmp_path):
+    """Offline CSV splitter (reference split_csv.py:7-38): equal chunks with
+    mirror padding on the short tail."""
+    import pandas as pd
+    from neurosync_trainer_lite_tpu.utils.csv_io import (
+        DIMENSION_LABELS, save_generated_data_as_csv, split_csv_by_frames)
+
+    rng = np.random.default_rng(0)
+    data = rng.uniform(0, 1, (10, len(DIMENSION_LABELS)))
+    src = str(tmp_path / "capture.csv")
+    save_generated_data_as_csv(data, src)
+
+    paths = split_csv_by_frames(src, str(tmp_path / "parts"), num_chunks=4)
+    assert len(paths) == 4
+    sizes = [len(pd.read_csv(p)) for p in paths]
+    # reference semantics: chunk_size = 10//4 = 2; mirror-pad to 12 rows;
+    # the last chunk absorbs padding + remainder (split_csv.py:14-33)
+    assert sizes == [2, 2, 2, 6]
+    last = pd.read_csv(paths[-1])
+    full = pd.read_csv(src)
+    # last chunk = rows 6..9 then rows 9,8 mirrored
+    pd.testing.assert_series_equal(last.iloc[4], full.iloc[9], check_names=False)
+    pd.testing.assert_series_equal(last.iloc[5], full.iloc[8], check_names=False)
+
+    # evenly divisible: four equal chunks, no padding
+    paths = split_csv_by_frames(src, str(tmp_path / "parts2"), num_chunks=2)
+    assert [len(pd.read_csv(p)) for p in paths] == [5, 5]
