@@ -84,13 +84,14 @@ def bench_frontend():
 
 
 def main():
-    # dropout off: bench the steady-state math. remat: the one real chip here
-    # is a 16GB v5e; batch-128 backward wants ~21GB of activations, so the
-    # decoder half (the bigger one) is rematerialised while the encoder's
-    # activations stay resident — measured fastest of the memory-feasible
-    # variants (tools/tpu_probe.py sweep: full remat 462/s, b64 no-remat
-    # 433/s, decoder-only remat 471/s).
-    cfg = full_config(dropout=0.0, remat=True, remat_scope="decoder")
+    # dropout off: bench the steady-state math. remat is decided by the
+    # memory planner: on the 16GB v5e batch-128 backward wants ~21GB, so
+    # decoder-scope remat engages (measured fastest memory-feasible variant:
+    # 471/s vs 462/s full remat vs OOM no-remat — docs/PERF.md); on a
+    # large-HBM chip (v5p) the model benches without remat.
+    from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
+
+    cfg = _maybe_auto_remat(full_config(dropout=0.0), 1, verbose=False)
     B, T = cfg.batch_size, cfg.micro_batch_size
 
     state, tx = init_train_state(cfg, steps_per_epoch=100)
