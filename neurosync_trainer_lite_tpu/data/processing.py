@@ -82,21 +82,37 @@ def interpolate_slower(data: np.ndarray) -> np.ndarray:
 
 
 def stack_with_blend(sequences: list[np.ndarray], blend_frames: int) -> np.ndarray | None:
-    """Concatenate versions with a linear cross-fade at each boundary
-    (reference: data_processing.py:179-197)."""
+    """Concatenate versions with a linear cross-fade at each boundary.
+
+    Semantic transcription of the reference's boundary blend
+    (data_processing.py:179-197): at each join, the last n frames of the
+    running result fade out against the first n frames of the next sequence
+    (n = blend_frames capped by both lengths, ramp endpoints inclusive), so
+    every join consumes n frames of total length. Implemented as a single
+    preallocated output with in-place fades rather than repeated vstacks.
+    """
     if not sequences:
         return None
-    result = sequences[0]
-    for seq in sequences[1:]:
-        n = min(blend_frames, result.shape[0], seq.shape[0])
-        if n <= 0:
-            result = np.vstack([result, seq])
-        else:
-            w1 = np.linspace(1, 0, n).reshape(n, 1)
-            w2 = np.linspace(0, 1, n).reshape(n, 1)
-            blended = w1 * result[-n:] + w2 * seq[:n]
-            result = np.vstack([result[:-n], blended, seq[n:]])
-    return result
+    if len(sequences) == 1:
+        return sequences[0]
+    caps = [min(blend_frames, a.shape[0], b.shape[0])
+            for a, b in zip(sequences, sequences[1:])]
+    total = sum(s.shape[0] for s in sequences) - sum(caps)
+    # float64 promotion matches the fp64 linspace ramps the reference blends
+    # with (and our previous vstack-based implementation)
+    out = np.empty((total, sequences[0].shape[1]),
+                   dtype=np.result_type(np.float64, *sequences))
+    pos = 0
+    out[: len(sequences[0])] = sequences[0]
+    pos = len(sequences[0])
+    for seq, n in zip(sequences[1:], caps):
+        if n > 0:
+            fade_in = np.linspace(0.0, 1.0, n)[:, None]
+            out[pos - n: pos] *= 1.0 - fade_in
+            out[pos - n: pos] += fade_in * seq[:n]
+        out[pos: pos + len(seq) - n] = seq[n:]
+        pos += len(seq) - n
+    return out
 
 
 def scale_facial_data(facial_data: np.ndarray, scale_factor: float = 1.1) -> np.ndarray:
@@ -119,15 +135,15 @@ def collect_features(audio_path, audio_features_csv_path, facial_csv_path, sr,
     """Load-or-extract audio features + facial CSV, match lengths, build
     augmented versions (reference: data_processing.py:108-177)."""
     if os.path.exists(audio_features_csv_path):
-        print(f"Loading audio features from {audio_features_csv_path}")
+        print(f"feature cache hit: {audio_features_csv_path}")
         audio_features = pd.read_csv(audio_features_csv_path).values
     else:
-        print(f"Extracting audio features from {audio_path}")
+        print(f"feature cache miss — extracting: {audio_path}")
         audio_features, _ = extract_audio_features(audio_path, sr)
         if audio_features is not None:
             pd.DataFrame(np.asarray(audio_features)).to_csv(
                 audio_features_csv_path, index=False)
-            print(f"Audio features saved to {audio_features_csv_path}")
+            print(f"feature cache written: {audio_features_csv_path}")
 
     facial_data = pd.read_csv(facial_csv_path).drop(columns=COLUMNS_TO_DROP).values
 

@@ -25,6 +25,10 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 
 from neurosync_trainer_lite_tpu.config import Config
 
+#: reject request bodies larger than this (an hour of 88.2kHz stereo wav is
+#: well under it; anything bigger would exhaust host memory before decode)
+MAX_BODY_BYTES = 100 * 1024 * 1024
+
 
 def make_handler(params, cfg: Config):
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -51,6 +55,10 @@ def make_handler(params, cfg: Config):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_BODY_BYTES:
+                    self._send(413, {"error": f"body too large ({length} "
+                                     f"bytes > {MAX_BODY_BYTES} cap)"})
+                    return
                 audio_bytes = self.rfile.read(length)
                 frames = generate_facial_data_from_bytes(
                     audio_bytes, params, cfg)

@@ -36,6 +36,16 @@ def _cosine_similarity(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-8) -> jnp
     The sqrt is offset by a tiny constant so its *gradient* stays finite when a
     frame-delta vector is exactly zero — jnp.linalg.norm would produce NaN
     grads there (0/0), which poisons the whole backward pass on silent frames.
+
+    Documented epsilon divergence from the reference: the reference divides by
+    `(norm + eps)` (utils/model.py:284-286) whereas this uses torch's
+    F.cosine_similarity convention `max(norm, eps)` plus the 1e-24 sqrt offset
+    above. For any frame delta with norm >> 1e-8 the two are identical to
+    ~1e-8 relative (tests/test_model.py pins agreement with the reference
+    formula to 1e-5); they differ only on near-zero deltas, exactly where the
+    reference's form has unbounded gradients and this one stays finite. The
+    divergence is deliberate — a numerical-safety improvement, not a
+    semantics change.
     """
     nx = jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-24)
     ny = jnp.sqrt(jnp.sum(y * y, axis=-1) + 1e-24)

@@ -107,7 +107,14 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
 
         if val_iter is not None and batch_idx % cfg.validation_interval == 0:
             vsrc, vtrg = next_val_batch()
-            vloss = eval_step(state.params, put(vsrc), put(vtrg))
+            if cfg.loss_variant == "smoothness" and cfg.smoothness_annealing:
+                # keep val loss on the same annealed alpha/beta scale as train
+                from neurosync_trainer_lite_tpu.training.step import (
+                    opt_step_count)
+                vloss = eval_step(state.params, put(vsrc), put(vtrg),
+                                  opt_step_count(state.opt_state))
+            else:
+                vloss = eval_step(state.params, put(vsrc), put(vtrg))
             val_steps.append(batch_step)
             val_losses.append(vloss)
             if verbose:
@@ -151,7 +158,12 @@ def estimate_step_hbm_bytes(cfg: Config, n_data_shards: int = 1) -> int:
     n_params = (cfg.input_dim * cfg.hidden_dim
                 + cfg.n_layers * 28 * cfg.hidden_dim * cfg.hidden_dim
                 + cfg.hidden_dim * cfg.output_dim)
-    return acts + 16 * n_params
+    total = acts + 16 * n_params
+    if cfg.grad_accum_steps > 1:
+        # lax.scan grad accumulation keeps an extra fp32 gradient buffer
+        # alive across micro-batches
+        total += 4 * n_params
+    return total
 
 
 # per-device HBM by device_kind, for backends that expose no memory_stats
@@ -209,6 +221,12 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
     from neurosync_trainer_lite_tpu.data.windowing import prepare_datasets
 
     _, train_view, val_view = prepare_datasets(cfg, clips)
+    if len(train_view) == 0:
+        raise RuntimeError(
+            f"no training windows: root_dir={cfg.root_dir!r} yielded zero "
+            f"usable clips (each capture folder needs a facial CSV plus "
+            f"audio/video or a cached audio_features.csv, and clips must be "
+            f"≥{cfg.micro_batch_size} frames long)")
     steps_per_epoch = max(1, len(train_view) // cfg.batch_size)
 
     if mesh is None and (cfg.tp > 1 or cfg.dp > 1 or
@@ -236,8 +254,19 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
     if mesh is not None:
         state = shard_state(state, cfg, mesh, tx)
 
-    train_step = make_train_step(cfg, tx)
-    eval_step = make_eval_step(cfg)
+    total_steps = max(2, steps_per_epoch * cfg.n_epochs)
+    train_step = make_train_step(cfg, tx, total_steps=total_steps)
+    eval_step = make_eval_step(cfg, total_steps=total_steps)
+
+    have_val_assets = (os.path.exists(cfg.audio_path)
+                       and os.path.exists(cfg.ground_truth_path))
+    if save_artifacts and not have_val_assets:
+        print(f"WARNING: per-epoch validation is DISABLED — golden pair not "
+              f"found (audio_path={cfg.audio_path!r} "
+              f"exists={os.path.exists(cfg.audio_path)}, "
+              f"ground_truth_path={cfg.ground_truth_path!r} "
+              f"exists={os.path.exists(cfg.ground_truth_path)}). "
+              f"No comparison stats/plots will be written.")
 
     for epoch in range(start_epoch, cfg.n_epochs):
         state, batch_step, _ = train_one_epoch(
@@ -249,8 +278,7 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
         if save_artifacts:
             save_checkpoint(state, epoch, batch_step, cfg)
             save_final_model(state.params, cfg)
-            if os.path.exists(cfg.audio_path) and os.path.exists(
-                    cfg.ground_truth_path):
+            if have_val_assets:
                 generate_and_save_facial_data(
                     epoch, cfg.audio_path, state.params,
                     cfg.ground_truth_path, cfg)

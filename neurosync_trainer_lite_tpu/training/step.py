@@ -85,15 +85,20 @@ def _compute_loss(params, src, trg, cfg: Config, rng, train: bool,
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     *, donate: bool = True, total_steps: int = 1):
     """Returns jitted (state, src, trg, rng) → (state, loss, grad_norm)."""
+    if cfg.loss_variant == "smoothness" and cfg.smoothness_annealing:
+        # with total_steps=1 the phase would hit an integer multiple of 2π
+        # at every step (alpha pinned to 1, beta to 0) — the schedule
+        # silently never runs
+        assert total_steps > 1, (
+            "smoothness_annealing needs the real step count: pass "
+            "total_steps=steps_per_epoch * n_epochs to make_train_step")
 
     def step(state: TrainState, src, trg, rng):
         step_count = None
         if cfg.loss_variant == "smoothness" and cfg.smoothness_annealing:
             # the Adam update counter doubles as the global step for the
             # annealed smoothness schedule (traced, stays in the program)
-            counts = optax.tree_utils.tree_get_all_with_path(
-                state.opt_state, "count")  # adam + schedule both count steps
-            step_count = counts[0][1]
+            step_count = opt_step_count(state.opt_state)
 
         if cfg.grad_accum_steps > 1:
             # Sequential micro-batches inside one compiled step: activations
@@ -135,10 +140,22 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: Config):
-    """Returns jitted (params, src, trg) → loss (dropout off)."""
+def make_eval_step(cfg: Config, *, total_steps: int = 1):
+    """Returns jitted (params, src, trg[, step_count]) → loss (dropout off).
 
-    def step(params, src, trg):
-        return _compute_loss(params, src, trg, cfg, None, False)
+    `step_count` matters only for loss_variant='smoothness' with annealing on:
+    passing the optimizer's step counter keeps validation loss on the same
+    annealed alpha/beta scale as the training loss (otherwise eval would use
+    alpha=beta=1 and train/val curves would not be comparable)."""
+
+    def step(params, src, trg, step_count=None):
+        return _compute_loss(params, src, trg, cfg, None, False, step_count,
+                             total_steps)
 
     return jax.jit(step)
+
+
+def opt_step_count(opt_state):
+    """The optimizer's global step counter (a traced/device scalar)."""
+    counts = optax.tree_utils.tree_get_all_with_path(opt_state, "count")
+    return counts[0][1]

@@ -129,23 +129,44 @@ def audio_to_bytes(y: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
-def play_audio_bytes(audio_bytes: bytes, start_event=None) -> None:
-    """Optional local playback (reference: play_audio.py uses pygame).
-
-    Playback is a host-side convenience, out of the performance path; it is a
-    graceful no-op when no audio backend is installed.
-    """
+def _play(source, start_event, label: str) -> None:
+    """Shared playback core: init mixer, load, wait for the Player-sync event,
+    block until done. Mirrors the reference surface (play_audio.py:6-52) with
+    its 'Unknown WAVE format' skip behavior; a missing/backend-less pygame is
+    a graceful no-op since playback is a host-side convenience only."""
     try:
-        import pygame  # noqa: F401
+        import pygame
     except ImportError:
-        print("play_audio_bytes: pygame not installed; skipping playback")
+        print(f"{label}: pygame not installed; skipping playback")
         return
-    import pygame
+    try:
+        pygame.mixer.init()
+        pygame.mixer.music.load(source)
+        if start_event is not None:
+            start_event.wait()
+        pygame.mixer.music.play()
+        while pygame.mixer.music.get_busy():
+            pygame.time.Clock().tick(10)
+    except pygame.error as e:
+        if "Unknown WAVE format" in str(e):
+            print("Unknown WAVE format encountered. "
+                  "Skipping to the next item in the queue.")
+        else:
+            print(f"Error in {label}: {e}")
+    except Exception as e:  # noqa: BLE001 — playback must never kill a session
+        print(f"Error in {label}: {e}")
 
-    pygame.mixer.init()
-    sound = pygame.mixer.Sound(io.BytesIO(audio_bytes))
-    if start_event is not None:
-        start_event.wait()
-    sound.play()
-    while pygame.mixer.get_busy():
-        pygame.time.wait(10)
+
+def play_audio_bytes(audio_bytes: bytes, start_event=None) -> None:
+    """Play in-memory encoded audio (reference: play_audio.py:6-25)."""
+    _play(io.BytesIO(audio_bytes), start_event, "play_audio_bytes")
+
+
+def play_audio_from_memory(audio_data: bytes, start_event=None) -> None:
+    """Reference-name alias surface (play_audio.py:27-44)."""
+    _play(io.BytesIO(audio_data), start_event, "play_audio_from_memory")
+
+
+def play_audio_from_path(audio_path: str, start_event=None) -> None:
+    """Play an audio file from disk (reference: play_audio.py:46-52)."""
+    _play(audio_path, start_event, "play_audio_from_path")

@@ -75,6 +75,43 @@ def test_zero_penalty_increases_loss(rng):
     assert with_pen == pytest.approx(manual, rel=1e-6)
 
 
+def test_annealing_requires_real_total_steps(rng):
+    """total_steps=1 pins alpha=1/beta=0 at every integer step — the schedule
+    silently never runs (ADVICE r1). make_train_step must refuse it."""
+    from neurosync_trainer_lite_tpu.training.step import (
+        init_train_state, make_train_step)
+
+    cfg = tiny_config(loss_variant="smoothness", smoothness_annealing=True)
+    state, tx = init_train_state(cfg, steps_per_epoch=5)
+    with pytest.raises(AssertionError, match="total_steps"):
+        make_train_step(cfg, tx, donate=False)  # default total_steps=1
+
+
+def test_eval_step_uses_annealed_weights(rng):
+    """Validation loss must sit on the same annealed alpha/beta scale as the
+    training loss when step_count is threaded through (ADVICE r1)."""
+    from neurosync_trainer_lite_tpu.training.step import (
+        init_train_state, make_eval_step)
+
+    cfg = tiny_config(loss_variant="smoothness", smoothness_annealing=True,
+                      batch_size=4)
+    state, _ = init_train_state(cfg, steps_per_epoch=5)
+    eval_step = make_eval_step(cfg, total_steps=2000)
+    src = jnp.asarray(rng.standard_normal((4, 16, cfg.input_dim)), jnp.float32)
+    trg = jnp.asarray(rng.standard_normal((4, 16, cfg.output_dim)), jnp.float32)
+
+    # eval loss at two phases of the annealing cycle must differ
+    l_alpha = float(eval_step(state.params, src, trg, jnp.asarray(0)))
+    l_beta = float(eval_step(state.params, src, trg, jnp.asarray(1)))
+    assert l_alpha != pytest.approx(l_beta, rel=1e-6)
+    # and each matches the loss function evaluated at that step directly
+    from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
+    out = seq2seq_apply(state.params, src, cfg, train=False)
+    direct = float(smoothness_loss_fn(out, trg, anneal=True, current_step=0,
+                                      total_steps=2000))
+    assert l_alpha == pytest.approx(direct, rel=1e-5)
+
+
 def test_train_step_with_smoothness_annealing(rng):
     from neurosync_trainer_lite_tpu.training.step import (
         init_train_state, make_train_step)

@@ -67,6 +67,20 @@ def test_http_server_roundtrip(cfg_params):
         except urllib.error.HTTPError as e:
             raised = e.code == 400
         assert raised
+
+        # oversized Content-Length → 413 before the body is read
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/audio_to_blendshapes",
+            data=b"x", method="POST",
+            headers={"Content-Length": str(10 ** 12)})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 413
+        except urllib.error.URLError:
+            raised = True  # server cut the connection after rejecting
+        assert raised
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
             assert json.load(r)["ok"]

@@ -53,6 +53,43 @@ def test_streaming_matches_offline_core(setup):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_streaming_tail_divergence_quantified(setup):
+    """The one semantic divergence from the offline path, bounded numerically.
+
+    Offline, the tail fix-up chunk is CONCATENATED after the blend loop
+    (reference audio_processing.py:86-93); the streamer CROSS-FADES its final
+    chunk into the pending overlap instead. Both outputs are combinations of
+    the same decoded chunks, so they agree exactly outside the final
+    frame_size frames; inside, the streamed value is a convex combination of
+    the previous chunk's decode and the new one, while offline takes the new
+    decode alone. This test pins the divergence: zero on the core, and on the
+    tail bounded by the inter-chunk decode disagreement scale (measured
+    ~2e-3 of full blendshape range for a random-init model; asserted with
+    margin).
+    """
+    cfg, params = setup
+    extract = _feature_oracle(cfg)
+    samples_per_frame = cfg.sr // 60
+    # 100 frames with frame_size=32/overlap=8 → several chunks + a tail
+    total = 100 * samples_per_frame
+    audio = np.random.default_rng(3).standard_normal(total).astype(np.float32)
+
+    offline = process_audio_features(extract(audio), params, cfg)
+    streamer = BlendshapeStreamer(params, cfg, extract_features=extract)
+    streamer.push_audio(audio)
+    streamer.flush()
+    streamed = streamer.pop_frames()
+
+    assert streamed.shape == offline.shape
+    core = len(offline) - cfg.frame_size
+    np.testing.assert_allclose(streamed[:core], offline[:core],
+                               atol=1e-6, rtol=1e-5)
+    tail_div = np.max(np.abs(streamed[core:] - offline[core:]))
+    # outputs live in LiveLink [0,1] space; the divergence is a fraction of
+    # the inter-chunk decode disagreement, far below perceptual thresholds
+    assert tail_div < 0.02, f"tail divergence {tail_div} exceeds bound"
+
+
 def test_incremental_finality(setup):
     cfg, params = setup
     extract = _feature_oracle(cfg)
