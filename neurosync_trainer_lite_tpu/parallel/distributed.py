@@ -1,0 +1,67 @@
+"""Multi-process (multi-host) runtime initialization.
+
+The reference has no distributed backend at all — its "multi-GPU" is a
+single-process Python loop copying tensors between devices (reference:
+utils/training_utils.py:131-303; `torch.distributed` is imported at :8 and
+never used). The TPU-native equivalent (SURVEY.md §5.8) is a real backend:
+`jax.distributed.initialize` connects the processes of a pod/multi-slice job,
+after which `jax.devices()` is the GLOBAL device list, mesh collectives run
+over ICI within a slice and DCN across slices, and each process feeds only
+its addressable shard of every batch.
+
+Three launch modes:
+- single process (the default): nothing to do, `initialize_distributed` is a
+  no-op unless flags are given.
+- TPU pod auto-detection: `--distributed` alone calls
+  `jax.distributed.initialize()` with no arguments; on Cloud TPU the runtime
+  discovers coordinator/process_id from the metadata server.
+- explicit: `--coordinator host:port --num_processes N --process_id I`
+  (works on any backend, incl. the CPU Gloo backend used by the 2-process
+  smoke test in tests/test_multihost.py).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None,
+                           local_device_ids=None) -> bool:
+    """Initialize the multi-process runtime. Returns True if initialized.
+
+    Call BEFORE any other JAX API touches the backend. No-op (returns False)
+    when no arguments are given and auto-detection is not requested — i.e.
+    plain single-process runs never pay for this.
+    """
+    if coordinator_address is None and num_processes is None and process_id is None:
+        return False
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def host_put(x, sharding):
+    """Place a host-global array onto a (possibly multi-process) sharding.
+
+    Single process: a plain device_put. Multi-process: every process holds the
+    same host-global batch (the data pipeline is seed-deterministic, so all
+    processes assemble identical batches); each contributes only the shards it
+    can address, via make_array_from_callback — no cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])

@@ -47,6 +47,16 @@ def parse_config(argv=None) -> tuple[Config, argparse.Namespace]:
     parser.add_argument("--platform", type=str, default=None,
                         choices=("cpu", "tpu"),
                         help="force a JAX backend (e.g. cpu for a smoke run)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() with "
+                             "TPU-pod auto-detection")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="multi-host: coordinator address (explicit mode)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this process's rank")
     args = parser.parse_args(argv)
     return config_from_args(args), args
 
@@ -71,6 +81,19 @@ def main(argv=None) -> None:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.distributed or args.coordinator is not None:
+        from neurosync_trainer_lite_tpu.parallel.distributed import (
+            initialize_distributed)
+        if args.distributed and args.coordinator is None:
+            jax.distributed.initialize()  # TPU-pod auto-detection
+        else:
+            initialize_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+
     from neurosync_trainer_lite_tpu.training.loop import train_model
 
     if args.profile:

@@ -85,7 +85,11 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
 
     def put(x):
         if sharding is not None:
-            return jax.device_put(x, sharding)
+            # single-process: plain device_put; multi-host: every process
+            # assembles the same seed-deterministic batch and contributes its
+            # addressable shards (parallel/distributed.py)
+            from neurosync_trainer_lite_tpu.parallel.distributed import host_put
+            return host_put(x, sharding)
         return x
 
     from neurosync_trainer_lite_tpu.data.windowing import prefetch
@@ -232,6 +236,13 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
     if mesh is None and (cfg.tp > 1 or cfg.dp > 1 or
                          (cfg.dp == -1 and len(jax.devices()) > 1)):
         mesh = make_mesh(cfg)
+
+    if jax.process_count() > 1:
+        # multi-host: artifacts (plots, CSVs, checkpoints, model.pth) are
+        # written by process 0 only — with DP the state is replicated, so
+        # every array process 0 saves is fully addressable locally. (TP
+        # sharded across hosts would need a collective save; out of scope.)
+        save_artifacts = save_artifacts and jax.process_index() == 0
 
     n_data_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["data"] \
         if mesh is not None else 1

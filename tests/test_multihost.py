@@ -1,0 +1,80 @@
+"""Multi-host initialization smoke: 2 processes × 2 CPU devices (SURVEY §5.8).
+
+The reference has no distributed backend (its torch.distributed import is
+dead code); ours is jax.distributed + mesh collectives. This spawns a real
+2-process job over the Gloo CPU backend, runs data-parallel train steps
+through the production host_put/mesh/step path, and checks both processes
+agree — and agree with a single-process 4-device run of the same work.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _parse(line_source: str) -> dict:
+    for line in line_source.splitlines():
+        if line.startswith("MULTIHOST_RESULT"):
+            parts = dict(kv.split("=") for kv in line.split()[2:])
+            return {k: float(v) for k, v in parts.items()}
+    raise AssertionError(f"no MULTIHOST_RESULT in output:\n{line_source}")
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_matches_single_process():
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen([sys.executable, WORKER, str(pid), coordinator],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    r0, r1 = _parse(outs[0]), _parse(outs[1])
+
+    # both processes computed the same replicated loss/grad-norm
+    assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
+    assert r0["grad_norm"] == pytest.approx(r1["grad_norm"], abs=1e-6)
+    assert np.isfinite(r0["loss"]) and np.isfinite(r0["grad_norm"])
+
+    # and the 2-process result equals a single-process 4-device run
+    import jax
+
+    from neurosync_trainer_lite_tpu.config import tiny_config
+    from neurosync_trainer_lite_tpu.parallel.mesh import (
+        batch_sharding, make_mesh)
+    from neurosync_trainer_lite_tpu.parallel.distributed import host_put
+    from neurosync_trainer_lite_tpu.training.step import (
+        init_train_state, make_train_step, shard_state)
+
+    cfg = tiny_config(batch_size=8, micro_batch_size=16, dp=4)
+    mesh = make_mesh(cfg, devices=jax.devices()[:4])
+    state, tx = init_train_state(cfg, steps_per_epoch=4)
+    state = shard_state(state, cfg, mesh, tx)
+    step = make_train_step(cfg, tx)
+    sharding = batch_sharding(mesh)
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((8, 16, cfg.input_dim)).astype(np.float32)
+    trg = rng.standard_normal((8, 16, cfg.output_dim)).astype(np.float32)
+    loss = gn = None
+    for i in range(3):
+        state, loss, gn = step(state, host_put(src, sharding),
+                               host_put(trg, sharding), jax.random.PRNGKey(i))
+    assert r0["loss"] == pytest.approx(float(loss), abs=1e-5)
+    assert r0["grad_norm"] == pytest.approx(float(gn), abs=1e-5)

@@ -37,9 +37,43 @@ def main():
     p.add_argument("--fwd-only", action="store_true")
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
-                            "fastattn", "fusedqkv", "projonly", "notranspose"),
+                            "fastattn", "fusedqkv", "projonly", "notranspose",
+                            "attndrop-skip", "attndrop-bf16"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
+
+    if args.patch == "attndrop-skip":
+        # diagnostic: disable ONLY the attention-weight dropout (keep
+        # residual/FFN dropout) to isolate the [B,n,T,T]-mask cost
+        from neurosync_trainer_lite_tpu.ops import attention as am
+        orig_sdpa = am.sdpa
+
+        def sdpa_nodrop(q, k, v, **kw):
+            kw["dropout_rate"] = 0.0
+            return orig_sdpa(q, k, v, **kw)
+
+        am.sdpa = sdpa_nodrop
+    elif args.patch == "attndrop-bf16":
+        # prototype: apply attention-weight dropout AFTER the bf16 cast the
+        # second einsum needs anyway (halves that op's HBM traffic; the mask
+        # multiply rounds in bf16 instead of fp32 — semantically identical)
+        import jax
+        import jax.numpy as jnp
+        from neurosync_trainer_lite_tpu.ops import attention as am
+
+        def sdpa_bf16drop(q, k, v, *, dropout_rate=0.0, rng=None, train=False,
+                          impl="auto"):
+            scale = q.shape[-1] ** -0.5
+            scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            weights = am.dropout(weights.astype(v.dtype), dropout_rate, rng,
+                                 train)
+            out = jnp.einsum("bnqk,bnkh->bnqh", weights, v,
+                             preferred_element_type=jnp.float32)
+            return out.astype(v.dtype)
+
+        am.sdpa = sdpa_bf16drop
 
     if args.patch == "norope":
         from neurosync_trainer_lite_tpu.ops import rope
