@@ -83,45 +83,57 @@ def bench_frontend():
     }))
 
 
-def main():
-    # dropout off: bench the steady-state math. remat is decided by the
-    # memory planner: on the 16GB v5e batch-128 backward wants ~21GB, so
-    # decoder-scope remat engages (measured fastest memory-feasible variant:
-    # 471/s vs 462/s full remat vs OOM no-remat — docs/PERF.md); on a
-    # large-HBM chip (v5p) the model benches without remat.
-    from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
-
-    cfg = _maybe_auto_remat(full_config(dropout=0.0), 1, verbose=False)
+def _measure_train(cfg, n_steps: int = 20) -> float:
+    """samples/s of the compiled train step at cfg's geometry."""
     B, T = cfg.batch_size, cfg.micro_batch_size
-
     state, tx = init_train_state(cfg, steps_per_epoch=100)
     train_step = make_train_step(cfg, tx)
 
     key = jax.random.PRNGKey(0)
     src = jax.random.normal(key, (B, T, cfg.input_dim), jnp.float32)
     trg = jax.random.normal(key, (B, T, cfg.output_dim), jnp.float32)
+    drop_key = jax.random.key(0, impl=cfg.prng_impl)
 
     # Warmup / compile. The trailing float() fetch is the sync point —
     # block_until_ready alone has proven unreliable through remote-execution
     # tunnels (axon), returning before the step graph actually retires.
     for i in range(3):
-        state, loss, gn = train_step(state, src, trg, jax.random.fold_in(key, i))
+        state, loss, gn = train_step(state, src, trg,
+                                     jax.random.fold_in(drop_key, i))
     float(loss)
 
-    n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, loss, gn = train_step(state, src, trg, jax.random.fold_in(key, i))
+        state, loss, gn = train_step(state, src, trg,
+                                     jax.random.fold_in(drop_key, i))
     float(loss)
-    dt = time.perf_counter() - t0
+    return n_steps * B / (time.perf_counter() - t0)
 
-    samples_per_sec = n_steps * B / dt
+
+def main():
+    # THE headline measures the reference's actual training configuration:
+    # dropout 0.3 (reference config.py:33), batch 128 x 128 frames, the full
+    # fwd+bwd+Adam step. remat is decided by the memory planner: on the 16GB
+    # v5e batch-128 backward wants ~21GB, so decoder-scope remat engages
+    # (measured fastest memory-feasible variant — docs/PERF.md); on a
+    # large-HBM chip (v5p) the model benches without remat.
+    from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
+
+    cfg = _maybe_auto_remat(full_config(), 1, verbose=False)
+    samples_per_sec = _measure_train(cfg)
     print(json.dumps({
-        "metric": "228M_train_samples_per_sec_per_chip",
+        "metric": "228M_train_samples_per_sec_per_chip_dropout0.3",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
     }))
+    # diagnostic secondary (stderr, not the headline): dropout-free math
+    d0 = _measure_train(cfg.replace(dropout=0.0))
+    print(json.dumps({
+        "metric": "228M_train_samples_per_sec_per_chip_dropout0",
+        "value": round(d0, 2), "unit": "samples/s",
+        "vs_baseline": round(d0 / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
+    }), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,13 @@ class Config:
                                      # resident (decoder layers are ~2x the
                                      # encoder's, so 'decoder' frees most of
                                      # the memory for ~60% of the recompute)
+    remat_layers: int = -1           # within remat_scope, remat only the
+                                     # FIRST K layers of the stack (-1 = all):
+                                     # each non-rematted layer keeps its
+                                     # activations resident (~1 GB at the
+                                     # 228M batch-128 geometry) and skips its
+                                     # recompute in the backward pass — dial
+                                     # to the chip's spare HBM
     attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
 
     # ---------------------------------------------------------------------------

@@ -176,6 +176,25 @@ def _maybe_remat(body, cfg: Config, scope: str):
     return jax.checkpoint(body)
 
 
+def _scan_layers(body, x, xs, cfg: Config, scope: str):
+    """scan over stacked layers, rematerializing all — or, with
+    cfg.remat_layers = K, only the FIRST K layers (the rest keep their
+    activations resident and skip recompute in the backward pass; memory vs
+    recompute dialed to the chip's spare HBM)."""
+    n_layers = cfg.n_layers
+    k = cfg.remat_layers
+    in_scope = cfg.remat and cfg.remat_scope in ("all", scope)
+    if not in_scope or k < 0 or k >= n_layers:
+        x, _ = jax.lax.scan(_maybe_remat(body, cfg, scope), x, xs)
+        return x
+    if k > 0:
+        head = jax.tree.map(lambda a: a[:k], xs)
+        x, _ = jax.lax.scan(_maybe_remat(body, cfg, scope), x, head)
+    tail = jax.tree.map(lambda a: a[k:], xs)
+    x, _ = jax.lax.scan(body, x, tail)
+    return x
+
+
 def _layer_keys(rng, n_layers):
     """A scannable per-layer key array (dummy when rng is None)."""
     if rng is None:
@@ -203,8 +222,7 @@ def encoder_apply(params, x, cfg: Config, *, rng=None, train: bool = False):
         )
         return out, None
 
-    body = _maybe_remat(body, cfg, "encoder")
-    x, _ = jax.lax.scan(body, x, (params["layers"], keys))
+    x = _scan_layers(body, x, (params["layers"], keys), cfg, "encoder")
     return layer_norm(x, params["norm"])
 
 
@@ -229,8 +247,7 @@ def decoder_apply(params, encoder_outputs, cfg: Config, *, rng=None, train: bool
         )
         return out, None
 
-    body = _maybe_remat(body, cfg, "decoder")
-    x, _ = jax.lax.scan(body, x, (params["layers"], keys))
+    x = _scan_layers(body, x, (params["layers"], keys), cfg, "decoder")
     x = layer_norm(x, params["norm"])
     out = _linear(x, params["fc_output"])
     return out.astype(jnp.float32)

@@ -45,6 +45,39 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
     return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
 
 
+@jax.custom_vjp
+def _softmax_residual_bf16(s: jnp.ndarray) -> jnp.ndarray:
+    """softmax computed in fp32, returned AND saved for backward as bf16.
+
+    Forward math is unchanged vs softmax-then-cast (the weights @ v einsum
+    consumes bf16 either way) — the point is the autodiff residual: plain
+    jax.nn.softmax saves its fp32 [B, n, T, T] output for the backward pass,
+    which at the 228M batch-128 geometry is 134 MB x 24 attention instances
+    of HBM residuals + backward read traffic. Saving bf16 halves both and
+    freed enough HBM to keep one more decoder layer out of remat (measured
+    together: 434 → 451 samples/s at dropout 0.3, docs/PERF.md). The backward
+    recomputes dS = W*(dW - Σ dW·W) in fp32 from the bf16 weights — gradients
+    round at bf16 resolution there, the normal mixed-precision contract.
+    """
+    return jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+
+
+def _softmax_residual_bf16_fwd(s):
+    w = _softmax_residual_bf16(s)
+    return w, w
+
+
+def _softmax_residual_bf16_bwd(w, dw):
+    wf = w.astype(jnp.float32)
+    dwf = dw.astype(jnp.float32)
+    ds = wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
+    return (ds,)
+
+
+_softmax_residual_bf16.defvjp(_softmax_residual_bf16_fwd,
+                              _softmax_residual_bf16_bwd)
+
+
 def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
     """Scaled dot-product attention. q,k,v: [B, n, T, h].
 
@@ -69,7 +102,13 @@ def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
     scores = jnp.einsum(
         "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.float32
     ) * scale
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if v.dtype == jnp.bfloat16:
+        # bf16 compute: softmax in fp32 but bf16 weights downstream AND as
+        # the backward residual (see _softmax_residual_bf16)
+        weights = _softmax_residual_bf16(scores.astype(jnp.float32))
+    else:
+        # fp32 compute: exact path, keeps oracle/parity tests bitwise-stable
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     weights = dropout(weights, dropout_rate, rng, train)
     out = jnp.einsum(
         "bnqk,bnkh->bnqh", weights.astype(v.dtype), v,

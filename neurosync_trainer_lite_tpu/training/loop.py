@@ -200,20 +200,39 @@ def _device_hbm_limit() -> int | None:
 
 
 def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
-    """Turn on decoder-scope remat when the no-remat step won't fit HBM."""
+    """Turn on decoder-scope remat when the no-remat step won't fit HBM,
+    keeping as many decoder layers resident (non-rematted) as spare HBM
+    allows — each resident layer skips its backward recompute."""
     if cfg.remat or not cfg.auto_remat:
         return cfg
     limit = _device_hbm_limit()
     if limit is None:
         return cfg
     need = estimate_step_hbm_bytes(cfg, n_data_shards)
-    if need <= 0.85 * limit:
+    budget = 0.85 * limit
+    if need <= budget:
         return cfg
+
+    # decoder/encoder activation split ≈ 35/25 (2 attentions vs 1 per layer,
+    # same FFN — the estimator's 60·L coefficient); a RESIDENT decoder layer
+    # costs ~2.2x its share of that estimate in practice (fp32 attention
+    # residuals, dropout mask bytes, allocator slack — calibrated against the
+    # measured fit boundary on the 16 GB v5e: 1 resident layer fits, 2 OOM)
+    B = max(1, cfg.batch_size // max(1, n_data_shards * max(1, cfg.grad_accum_steps)))
+    acts = 2 * B * cfg.micro_batch_size * cfg.hidden_dim * (60 * cfg.n_layers)
+    dec_acts = acts * 35 // 60
+    per_resident_layer = 2.2 * dec_acts / cfg.n_layers
+    spare = budget - (need - dec_acts)
+    resident = int(max(0, min(cfg.n_layers - 1, spare // per_resident_layer)))
+    remat_layers = (cfg.n_layers - resident) if resident > 0 else -1
     if verbose:
         print(f"auto-remat: estimated step needs ~{need/1e9:.1f} GB of "
               f"~{limit/1e9:.1f} GB HBM — enabling remat_scope='decoder' "
-              f"(set auto_remat=False to override)")
-    return cfg.replace(remat=True, remat_scope="decoder")
+              + (f"with {resident} resident decoder layer(s) "
+                 f"(remat_layers={remat_layers}) " if resident else "")
+              + "(set auto_remat=False to override)")
+    return cfg.replace(remat=True, remat_scope="decoder",
+                       remat_layers=remat_layers)
 
 
 def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,

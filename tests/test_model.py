@@ -173,3 +173,32 @@ def test_bf16_close_to_fp32():
     out16 = seq2seq_apply(params, src, CFG.replace(use_amp=True))
     assert out16.dtype == jnp.float32  # outputs always fp32
     np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.15, rtol=0.1)
+
+
+def test_softmax_residual_bf16_grads_match_fp32_reference():
+    """The bf16-residual softmax (ops/attention.py) must produce the same
+    forward as softmax-then-cast and gradients within bf16 rounding of the
+    fp32-residual formulation."""
+    from neurosync_trainer_lite_tpu.ops.attention import (
+        _softmax_residual_bf16)
+
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.standard_normal((2, 4, 8, 8)) * 3.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 8, 16)), jnp.bfloat16)
+
+    def via_custom(s):
+        w = _softmax_residual_bf16(s)
+        return jnp.sum(jnp.einsum("bnqk,bnkh->bnqh", w, v,
+                                  preferred_element_type=jnp.float32) ** 2)
+
+    def via_plain(s):
+        w = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        return jnp.sum(jnp.einsum("bnqk,bnkh->bnqh", w, v,
+                                  preferred_element_type=jnp.float32) ** 2)
+
+    f_c, f_p = float(via_custom(s)), float(via_plain(s))
+    assert f_c == pytest.approx(f_p, rel=1e-6)  # forward identical
+    g_c = np.asarray(jax.grad(via_custom)(s))
+    g_p = np.asarray(jax.grad(via_plain)(s))
+    scale = np.max(np.abs(g_p)) + 1e-9
+    assert np.max(np.abs(g_c - g_p)) / scale < 2e-2  # bf16-rounding only

@@ -31,6 +31,7 @@ def main():
     p.add_argument("--remat", type=int, default=1)
     p.add_argument("--policy", default="full")
     p.add_argument("--scope", default="all")
+    p.add_argument("--remat-layers", type=int, default=-1)
     p.add_argument("--rng", default="threefry", choices=("threefry", "rbg"))
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--amp", type=int, default=1)
@@ -38,7 +39,7 @@ def main():
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
-                            "attndrop-skip", "attndrop-bf16"),
+                            "attndrop-skip", "attndrop-bf16", "softmax-vjp16"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
 
@@ -74,6 +75,42 @@ def main():
             return out.astype(v.dtype)
 
         am.sdpa = sdpa_bf16drop
+    elif args.patch == "softmax-vjp16":
+        # prototype: custom-vjp softmax that RETURNS AND SAVES bf16 weights —
+        # the fp32 [B,n,T,T] softmax output is never a backward residual
+        # (fwd math unchanged: the weights einsum already consumes bf16)
+        import jax
+        import jax.numpy as jnp
+        from neurosync_trainer_lite_tpu.ops import attention as am
+
+        @jax.custom_vjp
+        def softmax16(s):
+            return jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+
+        def softmax16_fwd(s):
+            w = softmax16(s)
+            return w, w
+
+        def softmax16_bwd(w, dw):
+            wf = w.astype(jnp.float32)
+            dwf = dw.astype(jnp.float32)
+            ds = wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
+            return (ds,)
+
+        softmax16.defvjp(softmax16_fwd, softmax16_bwd)
+
+        def sdpa16(q, k, v, *, dropout_rate=0.0, rng=None, train=False,
+                   impl="auto"):
+            scale = q.shape[-1] ** -0.5
+            scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            weights = softmax16(scores.astype(jnp.float32))
+            weights = am.dropout(weights, dropout_rate, rng, train)
+            out = jnp.einsum("bnqk,bnkh->bnqh", weights, v,
+                             preferred_element_type=jnp.float32)
+            return out.astype(v.dtype)
+
+        am.sdpa = sdpa16
 
     if args.patch == "norope":
         from neurosync_trainer_lite_tpu.ops import rope
@@ -163,8 +200,9 @@ def main():
     from neurosync_trainer_lite_tpu.config import full_config
 
     cfg = full_config(dropout=args.dropout, remat=bool(args.remat),
-                      remat_policy=args.policy, remat_scope=args.scope, attention_impl=args.attn,
-                      use_amp=bool(args.amp))
+                      remat_policy=args.policy, remat_scope=args.scope,
+                      remat_layers=args.remat_layers,
+                      attention_impl=args.attn, use_amp=bool(args.amp))
     key = jax.random.PRNGKey(0)
     src = jax.random.normal(key, (args.b, args.t, cfg.input_dim), jnp.float32)
 
