@@ -39,7 +39,8 @@ def main():
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
-                            "attndrop-skip", "attndrop-bf16", "softmax-vjp16"),
+                            "attndrop-skip", "attndrop-bf16", "softmax-vjp16",
+                            "scores-bf16"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
 
@@ -111,6 +112,43 @@ def main():
             return out.astype(v.dtype)
 
         am.sdpa = sdpa16
+    elif args.patch == "scores-bf16":
+        # prototype: the entire [B,n,T,T] chain in bf16 — scores come out of
+        # the MXU as bf16 (fp32 internal accumulate, one output rounding),
+        # softmax stats in fp32 inside a custom vjp, cotangents bf16
+        import jax
+        import jax.numpy as jnp
+        from neurosync_trainer_lite_tpu.ops import attention as am
+
+        @jax.custom_vjp
+        def softmax_b16(s):  # s bf16
+            return jax.nn.softmax(s.astype(jnp.float32),
+                                  axis=-1).astype(jnp.bfloat16)
+
+        def softmax_b16_fwd(s):
+            w = softmax_b16(s)
+            return w, w
+
+        def softmax_b16_bwd(w, dw):
+            wf = w.astype(jnp.float32)
+            dwf = dw.astype(jnp.float32)
+            ds = wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
+            return (ds.astype(jnp.bfloat16),)
+
+        softmax_b16.defvjp(softmax_b16_fwd, softmax_b16_bwd)
+
+        def sdpa_sb16(q, k, v, *, dropout_rate=0.0, rng=None, train=False,
+                      impl="auto"):
+            scale = jnp.asarray(q.shape[-1] ** -0.5, jnp.bfloat16)
+            scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                                preferred_element_type=jnp.bfloat16) * scale
+            weights = softmax_b16(scores)
+            weights = am.dropout(weights, dropout_rate, rng, train)
+            out = jnp.einsum("bnqk,bnkh->bnqh", weights, v,
+                             preferred_element_type=jnp.float32)
+            return out.astype(v.dtype)
+
+        am.sdpa = sdpa_sb16
 
     if args.patch == "norope":
         from neurosync_trainer_lite_tpu.ops import rope
