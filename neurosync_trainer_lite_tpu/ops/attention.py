@@ -47,19 +47,22 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
 
 @jax.custom_vjp
 def _softmax_residual_bf16(s: jnp.ndarray) -> jnp.ndarray:
-    """softmax computed in fp32, returned AND saved for backward as bf16.
+    """softmax over bf16 logits with fp32 internal stats; bf16 in, bf16 out,
+    and — the point — a bf16 backward residual.
 
-    Forward math is unchanged vs softmax-then-cast (the weights @ v einsum
-    consumes bf16 either way) — the point is the autodiff residual: plain
-    jax.nn.softmax saves its fp32 [B, n, T, T] output for the backward pass,
-    which at the 228M batch-128 geometry is 134 MB x 24 attention instances
-    of HBM residuals + backward read traffic. Saving bf16 halves both and
-    freed enough HBM to keep one more decoder layer out of remat (measured
-    together: 434 → 451 samples/s at dropout 0.3, docs/PERF.md). The backward
-    recomputes dS = W*(dW - Σ dW·W) in fp32 from the bf16 weights — gradients
-    round at bf16 resolution there, the normal mixed-precision contract.
+    Under bf16 compute the whole [B, n, T, T] chain stays bf16 (134 MB → 67 MB
+    per attention instance, ×24 at the 228M batch-128 geometry, for the
+    logits, the saved weights, and the cotangents), while everything
+    precision-critical stays fp32: the MXU accumulates q·kᵀ in fp32 (one
+    rounding to bf16 on output — the standard mixed-precision contract), and
+    the softmax max-subtraction/exp/normalize and the backward
+    dS = W·(dW − Σ dW·W) run in fp32. Measured: 494 → 509 samples/s dropout-
+    free, 451 → 459 at dropout 0.3, on top of the earlier fp32-residual
+    elimination (434 → 451) — docs/PERF.md. Gradient agreement with the
+    fp32-residual formulation is pinned by
+    tests/test_model.py::test_softmax_residual_bf16_grads_match_fp32_reference.
     """
-    return jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    return jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
 
 
 def _softmax_residual_bf16_fwd(s):
@@ -71,7 +74,7 @@ def _softmax_residual_bf16_bwd(w, dw):
     wf = w.astype(jnp.float32)
     dwf = dw.astype(jnp.float32)
     ds = wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
-    return (ds,)
+    return (ds.astype(jnp.bfloat16),)
 
 
 _softmax_residual_bf16.defvjp(_softmax_residual_bf16_fwd,
@@ -98,16 +101,19 @@ def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
     if use_pallas and fa.supports(kv_len, dropout_rate if train else 0.0, rng):
         return fa.flash_attention(q, k, v, scale)
 
-    # Scores accumulate in fp32 on the MXU regardless of input dtype.
-    scores = jnp.einsum(
-        "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
     if v.dtype == jnp.bfloat16:
-        # bf16 compute: softmax in fp32 but bf16 weights downstream AND as
-        # the backward residual (see _softmax_residual_bf16)
-        weights = _softmax_residual_bf16(scores.astype(jnp.float32))
+        # bf16 compute: fp32 MXU accumulation with bf16 logits/weights/
+        # residuals; softmax stats and backward math in fp32 inside the
+        # custom vjp (see _softmax_residual_bf16)
+        scores = jnp.einsum(
+            "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.bfloat16
+        ) * jnp.asarray(scale, jnp.bfloat16)
+        weights = _softmax_residual_bf16(scores)
     else:
         # fp32 compute: exact path, keeps oracle/parity tests bitwise-stable
+        scores = jnp.einsum(
+            "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     weights = dropout(weights, dropout_rate, rng, train)
     out = jnp.einsum(

@@ -183,7 +183,7 @@ def test_softmax_residual_bf16_grads_match_fp32_reference():
         _softmax_residual_bf16)
 
     rng = np.random.default_rng(3)
-    s = jnp.asarray(rng.standard_normal((2, 4, 8, 8)) * 3.0, jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 4, 8, 8)) * 3.0, jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((2, 4, 8, 16)), jnp.bfloat16)
 
     def via_custom(s):
@@ -192,13 +192,13 @@ def test_softmax_residual_bf16_grads_match_fp32_reference():
                                   preferred_element_type=jnp.float32) ** 2)
 
     def via_plain(s):
-        w = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
         return jnp.sum(jnp.einsum("bnqk,bnkh->bnqh", w, v,
                                   preferred_element_type=jnp.float32) ** 2)
 
     f_c, f_p = float(via_custom(s)), float(via_plain(s))
     assert f_c == pytest.approx(f_p, rel=1e-6)  # forward identical
-    g_c = np.asarray(jax.grad(via_custom)(s))
-    g_p = np.asarray(jax.grad(via_plain)(s))
+    g_c = np.asarray(jax.grad(via_custom)(s), dtype=np.float32)
+    g_p = np.asarray(jax.grad(via_plain)(s), dtype=np.float32)
     scale = np.max(np.abs(g_p)) + 1e-9
     assert np.max(np.abs(g_c - g_p)) / scale < 2e-2  # bf16-rounding only
