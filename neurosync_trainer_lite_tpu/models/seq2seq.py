@@ -111,8 +111,62 @@ def count_parameters(params) -> int:
 # ---------------------------------------------------------------------------
 
 
+_LN_EPS = 1e-5
+
+
+@jax.custom_vjp
+def _layer_norm_bf16(x, scale, bias):
+    """LayerNorm with fp32 math and lean residuals for bf16 inputs.
+
+    Forward is bit-identical to the plain formulation below. The custom vjp
+    exists for the backward residuals: XLA autodiff keeps [B, T, H] fp32
+    intermediates (the centered input, the broadcast rsqrt) for every one of
+    the model's 41+ LayerNorm sites; here only the bf16 input and the
+    [B, T, 1] fp32 (mean, rsqrt) stats are saved and the normalized value is
+    recomputed in the backward — measured 513 → 534 samples/s dropout-free,
+    462 → 478 at dropout 0.3 on the v5e (docs/PERF.md). The gradient formula
+    is the complete analytic LN derivative (through mean and variance), all
+    in fp32, so grads match autodiff to fp32 rounding
+    (tests/test_model.py::test_layer_norm_bf16_grads_match_autodiff).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _layer_norm_bf16_fwd(x, scale, bias):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    y = (xf - mean) * r
+    return (y * scale + bias).astype(x.dtype), (x, mean, r, scale)
+
+
+def _layer_norm_bf16_bwd(res, dout):
+    x, mean, r, scale = res
+    y = (x.astype(jnp.float32) - mean) * r
+    df = dout.astype(jnp.float32)
+    reduce_axes = tuple(range(df.ndim - 1))
+    dscale = jnp.sum(df * y, axis=reduce_axes)
+    dbias = jnp.sum(df, axis=reduce_axes)
+    dy = df * scale
+    m1 = jnp.mean(dy, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy * y, axis=-1, keepdims=True)
+    dx = (r * (dy - m1 - y * m2)).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_layer_norm_bf16.defvjp(_layer_norm_bf16_fwd, _layer_norm_bf16_bwd)
+
+
 def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the last dim, fp32 math (torch nn.LayerNorm semantics)."""
+    if x.dtype == jnp.bfloat16 and eps == _LN_EPS:
+        return _layer_norm_bf16(x, p["scale"].astype(jnp.float32),
+                                p["bias"].astype(jnp.float32))
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

@@ -202,3 +202,39 @@ def test_softmax_residual_bf16_grads_match_fp32_reference():
     g_p = np.asarray(jax.grad(via_plain)(s), dtype=np.float32)
     scale = np.max(np.abs(g_p)) + 1e-9
     assert np.max(np.abs(g_c - g_p)) / scale < 2e-2  # bf16-rounding only
+
+
+def test_layer_norm_bf16_grads_match_autodiff():
+    """The lean-residual LayerNorm vjp must match plain autodiff of the same
+    fp32 math (the formula differentiates through mean and variance)."""
+    from neurosync_trainer_lite_tpu.models.seq2seq import (
+        _LN_EPS, _layer_norm_bf16)
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((3, 7, 32)) * 2.0, jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 32), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(32), jnp.float32)
+
+    def plain(x, scale, bias):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        return (y * scale + bias).astype(x.dtype)
+
+    def loss_c(*a):
+        return jnp.sum(_layer_norm_bf16(*a).astype(jnp.float32) ** 2)
+
+    def loss_p(*a):
+        return jnp.sum(plain(*a).astype(jnp.float32) ** 2)
+
+    # identical forward
+    np.testing.assert_array_equal(
+        np.asarray(_layer_norm_bf16(x, scale, bias), np.float32),
+        np.asarray(plain(x, scale, bias), np.float32))
+    g_c = jax.grad(loss_c, argnums=(0, 1, 2))(x, scale, bias)
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g_c, g_p):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = np.max(np.abs(b)) + 1e-9
+        assert np.max(np.abs(a - b)) / denom < 1e-2

@@ -40,7 +40,7 @@ def main():
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
                             "attndrop-skip", "attndrop-bf16", "softmax-vjp16",
-                            "scores-bf16"),
+                            "scores-bf16", "ln-vjp16"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
 
@@ -149,6 +149,55 @@ def main():
             return out.astype(v.dtype)
 
         am.sdpa = sdpa_sb16
+    elif args.patch == "ln-vjp16":
+        # prototype: custom-vjp LayerNorm saving only the bf16 input plus
+        # [B,T,1] fp32 stats (XLA autodiff keeps [B,T,H] fp32 intermediates)
+        import jax
+        import jax.numpy as jnp
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+
+        EPS = 1e-5
+
+        @jax.custom_vjp
+        def ln16(x, scale, bias):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + EPS)
+            return (y * scale + bias).astype(x.dtype)
+
+        def ln16_fwd(x, scale, bias):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            r = jax.lax.rsqrt(var + EPS)
+            y = (xf - mean) * r
+            out = (y * scale + bias).astype(x.dtype)
+            return out, (x, mean, r, scale)
+
+        def ln16_bwd(res, dout):
+            x, mean, r, scale = res
+            xf = x.astype(jnp.float32)
+            y = (xf - mean) * r
+            df = dout.astype(jnp.float32)
+            dscale = jnp.sum(df * y, axis=tuple(range(df.ndim - 1)))
+            dbias = jnp.sum(df, axis=tuple(range(df.ndim - 1)))
+            dy = df * scale
+            m1 = jnp.mean(dy, axis=-1, keepdims=True)
+            m2 = jnp.mean(dy * y, axis=-1, keepdims=True)
+            dx = (r * (dy - m1 - y * m2)).astype(x.dtype)
+            return dx, dscale, dbias
+
+        ln16.defvjp(ln16_fwd, ln16_bwd)
+
+        def layer_norm16(x, p, eps=1e-5):
+            if x.dtype != jnp.bfloat16:
+                return _orig_ln(x, p, eps)
+            return ln16(x, p["scale"].astype(jnp.float32),
+                        p["bias"].astype(jnp.float32))
+
+        _orig_ln = s2s.layer_norm
+        s2s.layer_norm = layer_norm16
 
     if args.patch == "norope":
         from neurosync_trainer_lite_tpu.ops import rope
