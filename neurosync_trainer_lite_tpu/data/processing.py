@@ -95,9 +95,15 @@ def stack_with_blend(sequences: list[np.ndarray], blend_frames: int) -> np.ndarr
         return None
     if len(sequences) == 1:
         return sequences[0]
-    caps = [min(blend_frames, a.shape[0], b.shape[0])
-            for a, b in zip(sequences, sequences[1:])]
-    total = sum(s.shape[0] for s in sequences) - sum(caps)
+    # each join fades against the RUNNING result, so its cap depends on the
+    # accumulated length so far (matters when a middle sequence is shorter
+    # than blend_frames)
+    caps, running = [], sequences[0].shape[0]
+    for seq in sequences[1:]:
+        n = min(blend_frames, running, seq.shape[0])
+        caps.append(n)
+        running += seq.shape[0] - n
+    total = running
     # float64 promotion matches the fp64 linspace ramps the reference blends
     # with (and our previous vstack-based implementation)
     out = np.empty((total, sequences[0].shape[1]),

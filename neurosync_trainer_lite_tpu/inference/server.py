@@ -55,9 +55,11 @@ def make_handler(params, cfg: Config):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                if length > MAX_BODY_BYTES:
-                    self._send(413, {"error": f"body too large ({length} "
-                                     f"bytes > {MAX_BODY_BYTES} cap)"})
+                if length < 0 or length > MAX_BODY_BYTES:
+                    # negative would make rfile.read() block to EOF and wedge
+                    # the single-threaded server
+                    self._send(413, {"error": f"invalid body size ({length} "
+                                     f"bytes; cap {MAX_BODY_BYTES})"})
                     return
                 audio_bytes = self.rfile.read(length)
                 frames = generate_facial_data_from_bytes(

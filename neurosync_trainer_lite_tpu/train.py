@@ -82,14 +82,26 @@ def main(argv=None) -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    if args.distributed or args.coordinator is not None:
+    rank_flags = (args.num_processes is not None
+                  or args.process_id is not None)
+    if args.coordinator is not None:
         from neurosync_trainer_lite_tpu.parallel.distributed import (
             initialize_distributed)
-        if args.distributed and args.coordinator is None:
-            jax.distributed.initialize()  # TPU-pod auto-detection
-        else:
-            initialize_distributed(args.coordinator, args.num_processes,
-                                   args.process_id)
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+    elif args.distributed:
+        if rank_flags:
+            raise SystemExit(
+                "--distributed uses TPU-pod auto-detection and ignores "
+                "explicit topology; pass --coordinator HOST:PORT together "
+                "with --num_processes/--process_id for explicit mode")
+        jax.distributed.initialize()  # TPU-pod auto-detection
+    elif rank_flags:
+        raise SystemExit(
+            "--num_processes/--process_id need --coordinator HOST:PORT "
+            "(or use --distributed for TPU-pod auto-detection); refusing to "
+            "run silently single-process")
+    if args.coordinator is not None or args.distributed:
         print(f"distributed: process {jax.process_index()}/"
               f"{jax.process_count()}, {jax.local_device_count()} local / "
               f"{jax.device_count()} global devices")

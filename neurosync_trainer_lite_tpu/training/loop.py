@@ -185,7 +185,11 @@ _HBM_BY_KIND = {
 
 def _device_hbm_limit() -> int | None:
     try:
-        dev = jax.devices()[0]
+        # local_devices, not devices: in multi-host runs jax.devices()[0] is
+        # non-addressable on every process but 0, memory_stats() would raise
+        # there, and auto-remat would silently compile DIFFERENT programs per
+        # process (a GSPMD violation)
+        dev = jax.local_devices()[0]
         stats = dev.memory_stats()
         if stats and stats.get("bytes_limit"):
             return int(stats["bytes_limit"])

@@ -61,6 +61,41 @@ def test_stack_with_blend():
     np.testing.assert_array_equal(out[10:], b[4:])
 
 
+def test_stack_with_blend_matches_serial_oracle_running_caps():
+    """Join caps depend on the RUNNING result length, not the previous
+    original sequence (regression: r2 review) — exercised with a middle
+    sequence shorter than blend_frames."""
+    rng = np.random.default_rng(0)
+
+    def oracle(sequences, blend_frames):
+        # literal transcription of the reference's serial loop
+        # (data_processing.py:179-197)
+        result = sequences[0]
+        for seq in sequences[1:]:
+            n = min(blend_frames, result.shape[0], seq.shape[0])
+            if n <= 0:
+                result = np.vstack([result, seq])
+            else:
+                w1 = np.linspace(1, 0, n).reshape(n, 1)
+                w2 = np.linspace(0, 1, n).reshape(n, 1)
+                blended = w1 * result[-n:] + w2 * seq[:n]
+                result = np.vstack([result[:-n], blended, seq[n:]])
+        return result
+
+    cases = [
+        [rng.random((50, 3)), rng.random((25, 3)), rng.random((99, 3))],
+        [rng.random((2, 3)), rng.random((40, 3)), rng.random((5, 3))],
+        [rng.random((10, 3)), rng.random((10, 3))],
+        [rng.random((7, 2)), rng.random((3, 2)), rng.random((3, 2)),
+         rng.random((60, 2))],
+    ]
+    for seqs in cases:
+        expect = oracle(seqs, 30)
+        got = stack_with_blend(seqs, 30)
+        assert got.shape == expect.shape, [s.shape for s in seqs]
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+
+
 def test_smooth_facial_data():
     x = np.array([[0.0], [2.0], [4.0]])
     np.testing.assert_array_equal(smooth_facial_data(x), [[0], [1], [3]])

@@ -68,19 +68,24 @@ def test_http_server_roundtrip(cfg_params):
             raised = e.code == 400
         assert raised
 
-        # oversized Content-Length → 413 before the body is read
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/audio_to_blendshapes",
-            data=b"x", method="POST",
-            headers={"Content-Length": str(10 ** 12)})
-        try:
-            urllib.request.urlopen(req, timeout=60)
-            raised = False
-        except urllib.error.HTTPError as e:
-            raised = e.code == 413
-        except urllib.error.URLError:
-            raised = True  # server cut the connection after rejecting
-        assert raised
+        # oversized or negative Content-Length → 413 before the body is read
+        # (negative would make rfile.read block to EOF and wedge the server)
+        for bad_len in (str(10 ** 12), "-1"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/audio_to_blendshapes",
+                data=b"x", method="POST",
+                headers={"Content-Length": bad_len})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code == 413
+            except urllib.error.URLError:
+                raised = True  # server cut the connection after rejecting
+            assert raised, bad_len
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"]  # server still alive
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
             assert json.load(r)["ok"]

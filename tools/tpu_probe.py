@@ -39,8 +39,8 @@ def main():
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
-                            "attndrop-skip", "attndrop-bf16", "softmax-vjp16",
-                            "scores-bf16", "ln-vjp16"),
+                            "attndrop-skip", "attndrop-bf16",
+                            "attn-fp32-chain", "ln-autodiff"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
 
@@ -76,128 +76,42 @@ def main():
             return out.astype(v.dtype)
 
         am.sdpa = sdpa_bf16drop
-    elif args.patch == "softmax-vjp16":
-        # prototype: custom-vjp softmax that RETURNS AND SAVES bf16 weights —
-        # the fp32 [B,n,T,T] softmax output is never a backward residual
-        # (fwd math unchanged: the weights einsum already consumes bf16)
+    elif args.patch == "attn-fp32-chain":
+        # REVERSE ablation: restore the round-1 fp32 attention chain (fp32
+        # logits/softmax residual/cotangents) over the shipped bf16 default —
+        # measures what the bf16 [B,n,T,T] chain is worth on this chip
         import jax
         import jax.numpy as jnp
         from neurosync_trainer_lite_tpu.ops import attention as am
 
-        @jax.custom_vjp
-        def softmax16(s):
-            return jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-
-        def softmax16_fwd(s):
-            w = softmax16(s)
-            return w, w
-
-        def softmax16_bwd(w, dw):
-            wf = w.astype(jnp.float32)
-            dwf = dw.astype(jnp.float32)
-            ds = wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
-            return (ds,)
-
-        softmax16.defvjp(softmax16_fwd, softmax16_bwd)
-
-        def sdpa16(q, k, v, *, dropout_rate=0.0, rng=None, train=False,
-                   impl="auto"):
+        def sdpa_fp32(q, k, v, *, dropout_rate=0.0, rng=None, train=False,
+                      impl="auto"):
             scale = q.shape[-1] ** -0.5
             scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
-            weights = softmax16(scores.astype(jnp.float32))
+            weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
             weights = am.dropout(weights, dropout_rate, rng, train)
-            out = jnp.einsum("bnqk,bnkh->bnqh", weights, v,
+            out = jnp.einsum("bnqk,bnkh->bnqh", weights.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
             return out.astype(v.dtype)
 
-        am.sdpa = sdpa16
-    elif args.patch == "scores-bf16":
-        # prototype: the entire [B,n,T,T] chain in bf16 — scores come out of
-        # the MXU as bf16 (fp32 internal accumulate, one output rounding),
-        # softmax stats in fp32 inside a custom vjp, cotangents bf16
-        import jax
-        import jax.numpy as jnp
-        from neurosync_trainer_lite_tpu.ops import attention as am
-
-        @jax.custom_vjp
-        def softmax_b16(s):  # s bf16
-            return jax.nn.softmax(s.astype(jnp.float32),
-                                  axis=-1).astype(jnp.bfloat16)
-
-        def softmax_b16_fwd(s):
-            w = softmax_b16(s)
-            return w, w
-
-        def softmax_b16_bwd(w, dw):
-            wf = w.astype(jnp.float32)
-            dwf = dw.astype(jnp.float32)
-            ds = wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
-            return (ds.astype(jnp.bfloat16),)
-
-        softmax_b16.defvjp(softmax_b16_fwd, softmax_b16_bwd)
-
-        def sdpa_sb16(q, k, v, *, dropout_rate=0.0, rng=None, train=False,
-                      impl="auto"):
-            scale = jnp.asarray(q.shape[-1] ** -0.5, jnp.bfloat16)
-            scores = jnp.einsum("bnqh,bnkh->bnqk", q, k,
-                                preferred_element_type=jnp.bfloat16) * scale
-            weights = softmax_b16(scores)
-            weights = am.dropout(weights, dropout_rate, rng, train)
-            out = jnp.einsum("bnqk,bnkh->bnqh", weights, v,
-                             preferred_element_type=jnp.float32)
-            return out.astype(v.dtype)
-
-        am.sdpa = sdpa_sb16
-    elif args.patch == "ln-vjp16":
-        # prototype: custom-vjp LayerNorm saving only the bf16 input plus
-        # [B,T,1] fp32 stats (XLA autodiff keeps [B,T,H] fp32 intermediates)
+        am.sdpa = sdpa_fp32
+    elif args.patch == "ln-autodiff":
+        # REVERSE ablation: plain-autodiff LayerNorm (fp32 [B,T,H] residuals)
+        # over the shipped lean-residual custom vjp
         import jax
         import jax.numpy as jnp
         from neurosync_trainer_lite_tpu.models import seq2seq as s2s
 
-        EPS = 1e-5
-
-        @jax.custom_vjp
-        def ln16(x, scale, bias):
+        def ln_plain(x, p, eps=1e-5):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-            y = (xf - mean) * jax.lax.rsqrt(var + EPS)
-            return (y * scale + bias).astype(x.dtype)
+            y = (xf - mean) * jax.lax.rsqrt(var + eps)
+            y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+            return y.astype(x.dtype)
 
-        def ln16_fwd(x, scale, bias):
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-            r = jax.lax.rsqrt(var + EPS)
-            y = (xf - mean) * r
-            out = (y * scale + bias).astype(x.dtype)
-            return out, (x, mean, r, scale)
-
-        def ln16_bwd(res, dout):
-            x, mean, r, scale = res
-            xf = x.astype(jnp.float32)
-            y = (xf - mean) * r
-            df = dout.astype(jnp.float32)
-            dscale = jnp.sum(df * y, axis=tuple(range(df.ndim - 1)))
-            dbias = jnp.sum(df, axis=tuple(range(df.ndim - 1)))
-            dy = df * scale
-            m1 = jnp.mean(dy, axis=-1, keepdims=True)
-            m2 = jnp.mean(dy * y, axis=-1, keepdims=True)
-            dx = (r * (dy - m1 - y * m2)).astype(x.dtype)
-            return dx, dscale, dbias
-
-        ln16.defvjp(ln16_fwd, ln16_bwd)
-
-        def layer_norm16(x, p, eps=1e-5):
-            if x.dtype != jnp.bfloat16:
-                return _orig_ln(x, p, eps)
-            return ln16(x, p["scale"].astype(jnp.float32),
-                        p["bias"].astype(jnp.float32))
-
-        _orig_ln = s2s.layer_norm
-        s2s.layer_norm = layer_norm16
+        s2s.layer_norm = ln_plain
 
     if args.patch == "norope":
         from neurosync_trainer_lite_tpu.ops import rope
