@@ -182,3 +182,26 @@ def test_auto_remat_estimator():
         assert not cfg.remat
     finally:
         loop_mod._device_hbm_limit = orig
+
+
+def test_auto_remat_planner_decisions():
+    """The memory planner's calibrated decisions: decoder remat with one
+    resident layer on a 16 GB chip at the flagship geometry, nothing on a
+    95 GB chip, untouched when remat is explicitly configured."""
+    from unittest import mock
+
+    from neurosync_trainer_lite_tpu.config import full_config
+    from neurosync_trainer_lite_tpu.training import loop
+
+    with mock.patch.object(loop, "_device_hbm_limit", lambda: int(16e9)):
+        cfg = loop._maybe_auto_remat(full_config(), 1, verbose=False)
+        assert cfg.remat and cfg.remat_scope == "decoder"
+        assert cfg.remat_layers == 7  # one resident decoder layer
+    with mock.patch.object(loop, "_device_hbm_limit", lambda: int(95e9)):
+        assert not loop._maybe_auto_remat(full_config(), 1, verbose=False).remat
+    with mock.patch.object(loop, "_device_hbm_limit", lambda: int(16e9)):
+        # 8-way data parallel: per-device batch 16 fits without remat
+        assert not loop._maybe_auto_remat(full_config(), 8, verbose=False).remat
+        # explicit remat config is never second-guessed
+        explicit = full_config(remat=True, remat_scope="all")
+        assert loop._maybe_auto_remat(explicit, 1, verbose=False) is explicit
