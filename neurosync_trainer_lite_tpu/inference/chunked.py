@@ -55,6 +55,31 @@ def blend_chunks(chunk1: np.ndarray, chunk2: np.ndarray,
     return np.vstack((blended, chunk2[actual_overlap:]))
 
 
+def zero_columns(data: np.ndarray) -> np.ndarray:
+    """Zero the known-noise Lite dims on a copy (reference:
+    audio_processing.py:114-121, unused research helper — kept for surface
+    parity)."""
+    columns_to_zero = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+                       51, 52, 53, 54, 55, 56, 57, 58, 59, 60]
+    modified = np.copy(data)
+    modified[:, columns_to_zero] = 0
+    return modified
+
+
+def add_specified_dimensions_back(modified_data: np.ndarray) -> np.ndarray:
+    """Re-expand reduced outputs to the original 68 dims with zeros in the
+    removed columns (reference: audio_processing.py:123-140, unused research
+    helper; note its column list differs from zero_columns' — preserved
+    as-is)."""
+    original_dim = 68
+    columns_to_remove = [0, 1, 2, 3, 4, 7, 8, 9, 10, 11,
+                         51, 52, 53, 54, 55, 56, 57, 58, 59, 60]
+    new_data = np.zeros((modified_data.shape[0], original_dim))
+    remaining = [c for c in range(original_dim) if c not in columns_to_remove]
+    new_data[:, remaining] = modified_data
+    return new_data
+
+
 @functools.lru_cache(maxsize=8)
 def _decode_fn(cfg: Config):
     """Jitted batched encoder→decoder forward (dropout off)."""

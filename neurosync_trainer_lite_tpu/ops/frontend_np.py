@@ -160,6 +160,15 @@ def delta(x: np.ndarray, width: int = 9, order: int = 1) -> np.ndarray:
                          deriv=order, axis=-1, mode="interp")
 
 
+def smooth_features(features: np.ndarray) -> np.ndarray:
+    """Pairwise running smoother over leading-axis frames (reference:
+    extract_features_utils.py:47-51, unused-by-default helper — kept for
+    surface parity)."""
+    smoothed = np.copy(features)
+    smoothed[1:] = (features[:-1] + features[1:]) / 2
+    return smoothed
+
+
 def reduce_features(features: np.ndarray) -> np.ndarray:
     """Pair-average adjacent time frames 120→60 fps, keep odd tail frame
     (reference: extract_features_utils.py:33-44). features: [F, T]."""

@@ -107,6 +107,15 @@ def load_audio_from_bytes(audio_bytes: bytes, sr: int = 88200
     return y, sr
 
 
+def load_audio_file_from_memory(audio_bytes: bytes, sr: int = 88200
+                                ) -> tuple[np.ndarray, int]:
+    """Reference-name alias surface (load_audio.py:34-43): decode bytes,
+    peak-normalize, report the rate."""
+    y, sr = load_audio_from_bytes(audio_bytes, sr)
+    print(f"Loaded audio data with sample rate {sr}")
+    return y, sr
+
+
 def save_audio_file(y: np.ndarray, sr: int, output_path: str) -> None:
     """float waveform → 16-bit PCM WAV (reference: save_audio.py:7-20)."""
     pcm = np.clip(np.asarray(y, np.float64) * 32767.0, -32768, 32767).astype("<i2")

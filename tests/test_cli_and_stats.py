@@ -115,3 +115,35 @@ def test_split_csv_by_frames(tmp_path):
     # evenly divisible: four equal chunks, no padding
     paths = split_csv_by_frames(src, str(tmp_path / "parts2"), num_chunks=2)
     assert [len(pd.read_csv(p)) for p in paths] == [5, 5]
+
+
+def test_unused_reference_helper_surface():
+    """The reference's unused research helpers exist with preserved semantics
+    (audio_processing.py:114-140, load_audio.py:34-43,
+    extract_features_utils.py:47-51)."""
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.inference.chunked import (
+        add_specified_dimensions_back, zero_columns)
+    from neurosync_trainer_lite_tpu.ops.frontend_np import smooth_features
+    from neurosync_trainer_lite_tpu.utils.audio_io import (
+        audio_to_bytes, load_audio_file_from_memory)
+
+    data = np.ones((4, 61))
+    z = zero_columns(data)
+    assert z[:, 0].sum() == 0 and z[:, 17].sum() == 4  # JawOpen untouched
+    assert data[:, 0].sum() == 4  # original not modified
+
+    reduced = np.ones((3, 48))
+    back = add_specified_dimensions_back(reduced)
+    assert back.shape == (3, 68)
+    assert back.sum() == reduced.sum()  # zeros in removed slots
+    assert back[:, 0].sum() == 0  # a removed column stays zero
+
+    x = np.array([[0.0], [2.0], [4.0]])
+    np.testing.assert_array_equal(smooth_features(x), [[0], [1], [3]])
+
+    wav = audio_to_bytes(np.sin(np.linspace(0, 100, 22050)).astype(np.float32),
+                         22050)
+    y, sr = load_audio_file_from_memory(wav, sr=22050)
+    assert sr == 22050 and abs(np.abs(y).max() - 1.0) < 1e-6  # normalized
