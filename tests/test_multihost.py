@@ -78,3 +78,14 @@ def test_two_process_data_parallel_matches_single_process():
                                host_put(trg, sharding), jax.random.PRNGKey(i))
     assert r0["loss"] == pytest.approx(float(loss), abs=1e-5)
     assert r0["grad_norm"] == pytest.approx(float(gn), abs=1e-5)
+
+
+def test_cli_rejects_partial_rank_flags():
+    """Rank flags without a coordinator must fail loudly, not silently run
+    single-process (r2 review finding)."""
+    from neurosync_trainer_lite_tpu.train import main
+
+    with pytest.raises(SystemExit, match="coordinator"):
+        main(["--num_processes", "2"])
+    with pytest.raises(SystemExit, match="auto-detection"):
+        main(["--distributed", "--process_id", "0"])

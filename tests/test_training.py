@@ -205,3 +205,29 @@ def test_auto_remat_planner_decisions():
         # explicit remat config is never second-guessed
         explicit = full_config(remat=True, remat_scope="all")
         assert loop._maybe_auto_remat(explicit, 1, verbose=False) is explicit
+
+
+def test_partial_remat_grads_match_no_remat(rng):
+    """remat_layers=K must be a pure memory/time tradeoff: identical loss and
+    gradients (up to recompute rounding) to the non-rematted step."""
+    from neurosync_trainer_lite_tpu.models.loss import loss_fn
+    from neurosync_trainer_lite_tpu.models.seq2seq import (
+        init_seq2seq, seq2seq_apply)
+
+    base = tiny_config(dropout=0.3)
+    params = init_seq2seq(jax.random.PRNGKey(0), base)
+    src = jnp.asarray(rng.standard_normal((4, 16, base.input_dim)), jnp.float32)
+    trg = jnp.asarray(rng.standard_normal((4, 16, base.output_dim)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    def lossf(p, cfg):
+        return loss_fn(seq2seq_apply(p, src, cfg, rng=key, train=True), trg)
+
+    ref_l, ref_g = jax.value_and_grad(lossf)(params, base)
+    for cfg in (base.replace(remat=True, remat_scope="decoder", remat_layers=2),
+                base.replace(remat=True, remat_scope="all", remat_layers=3),
+                base.replace(remat=True, remat_scope="decoder", remat_layers=0)):
+        l, g = jax.value_and_grad(lossf)(params, cfg)
+        assert float(l) == pytest.approx(float(ref_l), abs=1e-7)
+        for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
