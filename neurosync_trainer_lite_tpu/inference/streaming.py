@@ -53,6 +53,16 @@ class BlendshapeStreamer:
     TRIM_THRESHOLD_FRAMES = 512
     #: frames of context kept behind the consumption point when trimming
     TRIM_MARGIN_FRAMES = 64
+    #: feature extraction runs on a prefix of the buffer quantized DOWN to a
+    #: multiple of this many 60 fps frames. The device frontend jit-compiles
+    #: per input length (~20-40 s per fresh length on a real TPU); without
+    #: quantization every push would hit a new length and a live session
+    #: would spend all its time compiling. With it — and with trimming
+    #: keeping the buffer bounded — the set of lengths converges and steady
+    #: state runs fully from the compile cache. Costs up to this many frames
+    #: of extra latency per push; semantics are unchanged (extracting over a
+    #: prefix is exactly the documented buffered-audio CMVN behavior).
+    FEATURE_QUANT_FRAMES = 32
 
     def __init__(self, params, cfg: Config, *, extract_features=None):
         from neurosync_trainer_lite_tpu.data.processing import (
@@ -103,7 +113,7 @@ class BlendshapeStreamer:
 
     def flush(self) -> None:
         """Finalize everything buffered (end of stream)."""
-        self._refresh_features()
+        self._refresh_features(final=True)
         self._drain(final=True)
 
     # -- reading ------------------------------------------------------------
@@ -122,14 +132,24 @@ class BlendshapeStreamer:
 
     # -- internals ----------------------------------------------------------
 
-    def _refresh_features(self) -> None:
+    def _refresh_features(self, *, final: bool = False) -> None:
         """Re-extract features over the (bounded) audio buffer.
 
         CMVN makes early rows drift slightly as audio accrues (documented in
         the module docstring); the refresh is skipped only when extraction
-        yields nothing new beyond the consumption point.
+        yields nothing new beyond the consumption point. Except at flush,
+        extraction sees a length-quantized prefix of the buffer so the
+        device frontend's per-length jit cache converges (see
+        FEATURE_QUANT_FRAMES); the un-quantized remainder simply waits for
+        the next push.
         """
-        feats = self._extract(self._audio)
+        y = self._audio
+        if not final and self.FEATURE_QUANT_FRAMES > 0:
+            quant = self.FEATURE_QUANT_FRAMES * self._frame_samples
+            y = y[: (len(y) // quant) * quant]
+        if len(y) == 0:
+            return
+        feats = self._extract(y)
         if feats is None:
             return
         feats = np.asarray(feats, np.float32)

@@ -131,6 +131,39 @@ def test_empty_and_short_streams(setup):
     assert s2.pop_frames().shape == (10, cfg.output_dim)
 
 
+def test_extraction_lengths_converge_for_live_sessions(setup):
+    """The device frontend jit-compiles per input length; a live session must
+    not present an ever-growing set of lengths (each fresh length = a full
+    XLA compile on real TPUs). With prefix quantization + buffer trimming,
+    the set of lengths the extractor sees converges to a small steady state.
+    """
+    cfg, params = setup
+    spf = cfg.sr // 60
+    lengths_seen = []
+    base_extract = _feature_oracle(cfg)
+
+    def recording_extract(y):
+        lengths_seen.append(len(y))
+        return base_extract(y)
+
+    s = BlendshapeStreamer(params, cfg, extract_features=recording_extract)
+    s._can_trim = True
+    s._frame_samples = spf
+    s.TRIM_THRESHOLD_FRAMES = 64
+    s.TRIM_MARGIN_FRAMES = 16
+    audio = np.random.default_rng(5).standard_normal(2000 * spf).astype(np.float32)
+    for i in range(0, len(audio), 9 * spf):
+        s.push_audio(audio[i: i + 9 * spf])
+    distinct = sorted(set(lengths_seen))
+    # every length is a multiple of the quantization grid...
+    quant = s.FEATURE_QUANT_FRAMES * spf
+    assert all(n % quant == 0 for n in distinct)
+    # ...and the steady-state set is small and REPEATS (compile-cache hits)
+    assert len(distinct) <= 8, distinct
+    tail = lengths_seen[len(lengths_seen) // 2:]
+    assert len(set(tail)) <= 4, sorted(set(tail))
+
+
 def test_trimming_bounds_buffer_and_preserves_output(setup):
     cfg, params = setup
     extract = _feature_oracle(cfg)
@@ -151,7 +184,9 @@ def test_trimming_bounds_buffer_and_preserves_output(setup):
             n = len(y) // spf
             if n == 0:
                 return None
-            start = base["n"] - len(y)
+            # y may be a quantized PREFIX of the buffer; its absolute start
+            # is the buffer's start (total fed minus what's still buffered)
+            start = base["n"] - len(s._audio)
             t = (np.arange(n, dtype=np.float32) + start / spf)[:, None]
             f = np.arange(cfg.input_dim, dtype=np.float32)[None, :]
             return np.sin(0.01 * t * (1 + f)).astype(np.float32)
