@@ -32,27 +32,29 @@ REFERENCE_4GPU_SAMPLES_PER_SEC = 550.0
 
 
 def bench_inference():
-    """--mode infer: wav→blendshape frames/sec through the full serving path
-    (feature frontend + batched chunked decode, BASELINE config #5).
-    Baseline = 60 fps real-time."""
+    """--mode infer: wav-bytes→blendshape frames/sec through the serving API
+    (BASELINE config #5): int16 WAV upload + single-program device pipeline
+    (frontend + batched chunked decode + overlap blend on device —
+    inference/device_pipeline.py). Baseline = 60 fps real-time."""
     import numpy as np
 
     from neurosync_trainer_lite_tpu.config import Config
-    from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
-    from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
+    from neurosync_trainer_lite_tpu.inference.api import (
+        generate_facial_data_from_bytes,
+    )
     from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+    from neurosync_trainer_lite_tpu.utils.audio_io import audio_to_bytes
 
     cfg = Config(dropout=0.0)
     params = init_seq2seq(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     seconds = 30
     audio = rng.standard_normal(cfg.sr * seconds).astype(np.float32) * 0.3
+    wav = audio_to_bytes(audio, cfg.sr)  # 16-bit PCM, the capture format
 
-    feats, _ = extract_audio_features(audio, cfg.sr)
-    out = process_audio_features(np.asarray(feats), params, cfg)  # warm/compile
+    out = generate_facial_data_from_bytes(wav, params, cfg)  # warm/compile
     t0 = time.perf_counter()
-    feats, _ = extract_audio_features(audio, cfg.sr)
-    out = process_audio_features(np.asarray(feats), params, cfg)
+    out = generate_facial_data_from_bytes(wav, params, cfg)
     dt = time.perf_counter() - t0
     fps = len(out) / dt
     print(json.dumps({

@@ -25,8 +25,29 @@ def smooth_by_averaging_pairs(data: np.ndarray) -> np.ndarray:
 
 
 def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
-                                    use_smoothing: bool = False):
-    """wav/audio bytes → [T, 61] blendshape frames at 60 fps."""
+                                    use_smoothing: bool = False,
+                                    pipeline: str = "device"):
+    """wav/audio bytes → [T, 61] blendshape frames at 60 fps.
+
+    pipeline='device' (default) runs the single-program device-resident path
+    (inference/device_pipeline.py — int16 upload for 16-bit WAVs, frontend +
+    chunked decode + blend in one jit, 3× the host path's throughput on the
+    measured v5e), falling back to the host path on any failure.
+    pipeline='host' forces the reference-exact host orchestration
+    (inference/chunked.py). Both are equality-tested against each other
+    (tests/test_device_pipeline.py).
+    """
+    if pipeline == "device":
+        try:
+            from neurosync_trainer_lite_tpu.inference.device_pipeline import (
+                generate_facial_data_from_bytes_device,
+            )
+
+            return generate_facial_data_from_bytes_device(
+                audio_bytes, params, cfg, use_smoothing=use_smoothing)
+        except Exception as e:  # pragma: no cover - device fallback
+            print(f"device pipeline failed ({e}); falling back to host path")
+
     audio_features, y = extract_audio_features(
         audio_bytes, sr=cfg.sr, from_bytes=True)
     if audio_features is None or y is None:

@@ -1,0 +1,107 @@
+"""Device-resident serving pipeline == host serving path, over many lengths.
+
+The device pipeline (inference/device_pipeline.py) fuses upload → frontend →
+chunk gather → decode → overlap blend → ÷100 into one jit program; the host
+path (inference/chunked.py + inference/api.py) is the reference-exact oracle
+(itself pinned against a literal serial reimplementation of the reference
+loop in test_inference.py).
+"""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
+from neurosync_trainer_lite_tpu.inference.api import (
+    generate_facial_data_from_bytes,
+)
+from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
+from neurosync_trainer_lite_tpu.inference.device_pipeline import (
+    generate_facial_data_from_bytes_device,
+    infer_waveform_device,
+)
+from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+from neurosync_trainer_lite_tpu.utils.audio_io import audio_to_bytes
+
+CFG = Config(hidden_dim=64, n_layers=1, num_heads=2, dropout=0.0,
+             use_amp=False)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_seq2seq(jax.random.PRNGKey(0), CFG)
+
+
+def _host_path(y: np.ndarray, params) -> np.ndarray:
+    feats, _ = extract_audio_features(y, CFG.sr)
+    return process_audio_features(np.asarray(feats), params, CFG)
+
+
+@pytest.mark.parametrize("seconds", [0.3, 1.0, 2.2, 3.5, 6.0])
+def test_device_pipeline_matches_host_path(params, seconds):
+    rng = np.random.default_rng(int(seconds * 10))
+    y = rng.standard_normal(int(CFG.sr * seconds)).astype(np.float32)
+    y /= np.max(np.abs(y))
+
+    host = _host_path(y, params)
+    dev = infer_waveform_device(y, params, CFG, normalized=True)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-6)
+
+
+def test_device_pipeline_too_short_returns_none(params):
+    y = np.zeros(100, np.float32)
+    assert infer_waveform_device(y, params, CFG) is None
+
+
+def test_int16_upload_matches_host_loader(params):
+    rng = np.random.default_rng(7)
+    i16 = (rng.standard_normal(int(CFG.sr * 1.5)) * 12000).astype(np.int16)
+
+    # host loader semantics: /32768 then peak-normalize (utils/audio_io.py)
+    y = i16.astype(np.float32) / 32768.0
+    y /= np.max(np.abs(y))
+    host = _host_path(y, params)
+
+    dev = infer_waveform_device(i16, params, CFG)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-6)
+
+
+def test_bytes_entry_fast_path_matches_api(params):
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(int(CFG.sr * 1.2)).astype(np.float32) * 0.5
+    wav = audio_to_bytes(y, CFG.sr)  # 16-bit mono WAV at sr → int16 fast path
+
+    host = generate_facial_data_from_bytes(wav, params, CFG)
+    dev = generate_facial_data_from_bytes_device(wav, params, CFG)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-6)
+
+    host_s = generate_facial_data_from_bytes(wav, params, CFG,
+                                             use_smoothing=True)
+    dev_s = generate_facial_data_from_bytes_device(wav, params, CFG,
+                                                   use_smoothing=True)
+    np.testing.assert_allclose(dev_s, host_s, rtol=2e-4, atol=2e-6)
+
+
+def test_bytes_entry_resample_fallback_matches_api(params):
+    # a 44.1 kHz WAV is not the capture rate → decodes through the host
+    # loader (resample) before the device program
+    rng = np.random.default_rng(4)
+    y = rng.standard_normal(44100).astype(np.float32) * 0.5
+    pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+
+    host = generate_facial_data_from_bytes(wav, params, CFG)
+    dev = generate_facial_data_from_bytes_device(wav, params, CFG)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-6)
