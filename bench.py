@@ -66,13 +66,16 @@ def bench_inference():
 
 def bench_frontend():
     """--mode frontend: device feature-extraction throughput in audio-seconds
-    processed per second (BASELINE config #3's hot half)."""
+    processed per second (BASELINE config #3's hot half). Input is int16 PCM
+    (the capture format) — uploaded raw and widened/normalized on device
+    (half the transfer bytes of fp32; see ops/frontend.py)."""
     import numpy as np
 
     from neurosync_trainer_lite_tpu.ops.frontend import extract_audio_features_jax
 
     sr, seconds = 88200, 60
-    y = np.random.default_rng(0).standard_normal(sr * seconds).astype(np.float32)
+    y = (np.random.default_rng(0).standard_normal(sr * seconds) * 12000
+         ).astype(np.int16)
     feats, _ = extract_audio_features_jax(y, sr)  # warm/compile
     t0 = time.perf_counter()
     feats, _ = extract_audio_features_jax(y, sr)

@@ -188,23 +188,46 @@ def _autocorr_187(y: jnp.ndarray, frame_length: int,
     return _reduce_features(ac.T).T
 
 
-@functools.partial(jax.jit, static_argnames=("sr",))
-def _extract_jit(y: jnp.ndarray, sr: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("sr", "normalize"))
+def _extract_jit(y: jnp.ndarray, sr: int, normalize: bool = False) -> jnp.ndarray:
+    y = y.astype(jnp.float32)
+    if normalize:
+        # int16 PCM upload path: the /32768 widening is a power-of-two
+        # multiply (exact in fp32), so widen + peak-normalize on device is
+        # bitwise-identical to the host loader (utils/audio_io.py) while
+        # uploading half the bytes
+        y = y * jnp.float32(1.0 / 32768.0)
+        peak = jnp.max(jnp.abs(y))
+        y = jnp.where(peak > 0, y / jnp.where(peak > 0, peak, 1.0), y)
     frame_length = int(0.01667 * sr)
     return jnp.concatenate(
         [_mfcc_69(y, sr, frame_length), _autocorr_187(y, frame_length)], axis=1)
 
 
 def extract_audio_features_jax(y, sr: int = 88200):
-    """y (mono float array) → (features[T60, 256], y), or (None, None) if the
+    """y (mono waveform) → (features[T60, 256], y), or (None, None) if the
     clip is shorter than 9 intermediate frames (reference: extract_features.py:14-20).
+
+    A float input is used as-is (callers peak-normalize on host). An int16
+    input uploads raw PCM — half the host→device bytes — and is widened +
+    peak-normalized on device, bitwise-identical to the host loader; the
+    returned waveform is the same normalized float32 (computed on host, no
+    extra transfer).
 
     Compiled per distinct input length (cached by jit).
     """
-    y = jnp.asarray(y, jnp.float32)
+    y = np.asarray(y)
     frame_length = int(0.01667 * sr)
     hop = frame_length // 2
     num_frames = (y.shape[0] - frame_length) // hop + 1
     if num_frames < F.MIN_FRAMES:
         return None, None
+    if y.dtype == np.int16:
+        feats = _extract_jit(jnp.asarray(y), sr, normalize=True)
+        y_f = y.astype(np.float32) / 32768.0
+        peak = np.max(np.abs(y_f)) if y_f.size else 0.0
+        if peak > 0:
+            y_f = y_f / peak
+        return np.asarray(feats), y_f
+    y = jnp.asarray(y, jnp.float32)
     return np.asarray(_extract_jit(y, sr)), y

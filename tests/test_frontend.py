@@ -141,3 +141,19 @@ def test_autocorr_include_deltas_variant(speechlike):
     with_d = F.autocorr_features(speechlike, fl, fl // 2, include_deltas=True)
     assert with_d.shape == (base.shape[0], base.shape[1] * 3)
     np.testing.assert_allclose(with_d[:, :187], base, atol=1e-6)
+
+
+def test_int16_entry_matches_host_normalized_float():
+    """int16 PCM upload (device widen + peak-normalize) == the host loader's
+    /32768 + peak-normalize followed by the float path, bitwise on the
+    waveform and to fp32 tolerance on features."""
+    rng = np.random.default_rng(11)
+    i16 = (rng.standard_normal(SR) * 9000).astype(np.int16)
+
+    y = i16.astype(np.float32) / 32768.0
+    y /= np.max(np.abs(y))
+
+    f_i16, y_i16 = extract_audio_features_jax(i16, SR)
+    f_f32, _ = extract_audio_features_jax(y, SR)
+    np.testing.assert_array_equal(np.asarray(y_i16), y)
+    np.testing.assert_allclose(f_i16, f_f32, rtol=1e-5, atol=1e-5)
