@@ -64,7 +64,13 @@ def make_handler(params, cfg: Config):
                 audio_bytes = self.rfile.read(length)
                 frames = generate_facial_data_from_bytes(
                     audio_bytes, params, cfg)
-                self._send(200, {"blendshapes": frames.tolist(),
+                if isinstance(frames, tuple):
+                    # too-short clip: the API keeps the reference's empty
+                    # ([], array([])) signature — serve an empty frame list
+                    frames = []
+                else:
+                    frames = frames.tolist()
+                self._send(200, {"blendshapes": frames,
                                  "fps": cfg.frame_rate})
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._send(400, {"error": str(e)})

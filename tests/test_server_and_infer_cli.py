@@ -57,6 +57,14 @@ def test_http_server_roundtrip(cfg_params):
         assert payload["fps"] == 60
         assert 80 <= frames.shape[0] <= 100  # ~90 frames of 1.5 s at 60 fps
 
+        # too-short clip (under the frontend's 9-frame minimum) → 200 with an
+        # empty frame list, not a crash on the API's empty tuple signature
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/audio_to_blendshapes",
+            data=_wav_bytes(cfg.sr, seconds=0.02), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.load(r)["blendshapes"] == []
+
         # bad request → 400, server stays up
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/audio_to_blendshapes",

@@ -36,6 +36,8 @@ def main():
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--amp", type=int, default=1)
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--unroll", type=int, default=0,
+                   help="prototype: lax.scan unroll factor for the layer scans")
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
@@ -112,6 +114,31 @@ def main():
             return y.astype(x.dtype)
 
         s2s.layer_norm = ln_plain
+
+    if args.unroll > 0:
+        # prototype: unroll the layer scans so XLA can interleave/schedule
+        # across layer bodies (costs compile time and code size)
+        import jax as _jax
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+
+        def scan_unrolled(body, x, xs, cfg, scope):
+            n_layers = cfg.n_layers
+            k = cfg.remat_layers
+            in_scope = cfg.remat and cfg.remat_scope in ("all", scope)
+            u = args.unroll
+            if not in_scope or k < 0 or k >= n_layers:
+                x, _ = _jax.lax.scan(s2s._maybe_remat(body, cfg, scope), x, xs,
+                                     unroll=min(u, n_layers))
+                return x
+            if k > 0:
+                head = _jax.tree.map(lambda a: a[:k], xs)
+                x, _ = _jax.lax.scan(s2s._maybe_remat(body, cfg, scope), x,
+                                     head, unroll=min(u, k))
+            tail = _jax.tree.map(lambda a: a[k:], xs)
+            x, _ = _jax.lax.scan(body, x, tail, unroll=min(u, n_layers - k))
+            return x
+
+        s2s._scan_layers = scan_unrolled
 
     if args.patch == "norope":
         from neurosync_trainer_lite_tpu.ops import rope
