@@ -94,7 +94,9 @@ def stack_with_blend(sequences: list[np.ndarray], blend_frames: int) -> np.ndarr
     if not sequences:
         return None
     if len(sequences) == 1:
-        return sequences[0]
+        # copy: returning the caller's array aliased would let downstream
+        # in-place edits mutate the original sequence
+        return sequences[0].copy()
     # each join fades against the RUNNING result, so its cap depends on the
     # accumulated length so far (matters when a middle sequence is shorter
     # than blend_frames)

@@ -51,6 +51,12 @@ def main(argv=None):
     with open(args.wav, "rb") as f:
         frames = generate_facial_data_from_bytes(
             f.read(), params, cfg, use_smoothing=args.smooth)
+    if isinstance(frames, tuple):
+        # too-short clip: the API returns its empty ([], array([])) signature
+        print(f"{args.wav}: clip shorter than the frontend minimum "
+              f"(9 intermediate frames); writing an empty CSV")
+        import numpy as np
+        frames = np.zeros((0, cfg.output_dim))
     save_generated_data_as_csv(frames, args.out)
     print(f"{len(frames)} frames → {args.out}")
 

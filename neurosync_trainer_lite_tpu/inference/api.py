@@ -17,6 +17,11 @@ from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
 from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
 
 
+# set after a device-pipeline failure so subsequent requests go straight to
+# the host path instead of re-running the failing device attempt
+_device_pipeline_broken = False
+
+
 def smooth_by_averaging_pairs(data: np.ndarray) -> np.ndarray:
     """(reference: generate_face_shapes.py:22-26), vectorized."""
     smoothed = data.copy()
@@ -37,7 +42,8 @@ def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
     (inference/chunked.py). Both are equality-tested against each other
     (tests/test_device_pipeline.py).
     """
-    if pipeline == "device":
+    global _device_pipeline_broken
+    if pipeline == "device" and not _device_pipeline_broken:
         try:
             from neurosync_trainer_lite_tpu.inference.device_pipeline import (
                 generate_facial_data_from_bytes_device,
@@ -46,7 +52,11 @@ def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
             return generate_facial_data_from_bytes_device(
                 audio_bytes, params, cfg, use_smoothing=use_smoothing)
         except Exception as e:  # pragma: no cover - device fallback
-            print(f"device pipeline failed ({e}); falling back to host path")
+            # sticky: a deterministic device-path failure (OOM, tracing bug)
+            # would otherwise re-pay the failed attempt on EVERY request
+            _device_pipeline_broken = True
+            print("device pipeline failed — disabling it for this process "
+                  f"and serving via the host path: {e!r}")
 
     audio_features, y = extract_audio_features(
         audio_bytes, sr=cfg.sr, from_bytes=True)

@@ -117,6 +117,41 @@ def _chunk_starts(num_frames: int, frame_length: int, overlap: int):
     return starts
 
 
+def chunk_plan(num_frames: int, frame_length: int, overlap: int):
+    """(starts, per-chunk valid lengths, tail `remaining` frames or 0).
+
+    Simulates the reference's accumulated length (each chunk after the first
+    loses min(overlap, acc, chunk) frames to blending) to decide whether the
+    tail fix-up pass decodes one extra chunk (reference: :86-93).
+    """
+    starts = _chunk_starts(num_frames, frame_length, overlap)
+    lengths = [min(s + frame_length, num_frames) - s for s in starts]
+    acc_len = lengths[0] if lengths else 0
+    for L in lengths[1:]:
+        acc_len += L - min(overlap, acc_len, L)
+    remaining = max(0, num_frames - acc_len)
+    return starts, lengths, remaining
+
+
+def blend_decoded_chunks(decoded, lengths, remaining: int, overlap: int,
+                         num_frames: int) -> np.ndarray:
+    """Serial overlap blend of decoded chunks, exactly as the reference
+    accumulates it (:62-96), plus the tail concat and ÷100 rescale (:102).
+    decoded: [N(+1 if remaining), frame_length, output_dim]."""
+    acc = decoded[0][: lengths[0]]
+    for i in range(1, len(lengths)):
+        acc = blend_chunks(acc, decoded[i][: lengths[i]], overlap)
+    outputs = [acc]
+    if remaining > 0:
+        outputs.append(decoded[-1][:remaining])
+
+    final = np.concatenate(outputs, axis=0)[:num_frames]
+    if final.ndim == 3:
+        final = final.reshape(-1, final.shape[-1])
+    final[:, :61] /= BLENDSHAPE_SCALE  # back to LiveLink space (reference: :102)
+    return final
+
+
 def process_audio_features(audio_features: np.ndarray, params, cfg: Config,
                            *, decode_batched=decode_chunks_batched) -> np.ndarray:
     """features [T, input_dim] → blendshapes [T, output_dim]
@@ -126,24 +161,14 @@ def process_audio_features(audio_features: np.ndarray, params, cfg: Config,
     num_features = audio_features.shape[1]
     num_frames = audio_features.shape[0]
 
-    starts = _chunk_starts(num_frames, frame_length, overlap)
-    lengths = [min(s + frame_length, num_frames) - s for s in starts]
-
-    # simulate the reference's accumulated length (each chunk after the first
-    # loses min(overlap, acc, chunk) frames to blending) to decide whether the
-    # tail fix-up pass decodes one extra chunk (reference: :86-93)
-    acc_len = lengths[0] if lengths else 0
-    for L in lengths[1:]:
-        acc_len += L - min(overlap, acc_len, L)
-    remaining = num_frames - acc_len
-    tail_needed = remaining > 0
+    starts, lengths, remaining = chunk_plan(num_frames, frame_length, overlap)
 
     chunk_list = [
         pad_audio_chunk(audio_features[s: s + frame_length], frame_length,
                         num_features)
         for s in starts
     ]
-    if tail_needed:
+    if remaining > 0:
         chunk_list.append(
             pad_audio_chunk(audio_features[num_frames - remaining: num_frames],
                             frame_length, num_features))
@@ -151,16 +176,5 @@ def process_audio_features(audio_features: np.ndarray, params, cfg: Config,
     decoded = decode_batched(
         params, np.asarray(chunk_list, dtype=np.float32), cfg)
 
-    # serial overlap blend, exactly as the reference accumulates it
-    acc = decoded[0][: lengths[0]]
-    for i in range(1, len(starts)):
-        acc = blend_chunks(acc, decoded[i][: lengths[i]], overlap)
-    outputs = [acc]
-    if tail_needed:
-        outputs.append(decoded[-1][:remaining])
-
-    final = np.concatenate(outputs, axis=0)[:num_frames]
-    if final.ndim == 3:
-        final = final.reshape(-1, final.shape[-1])
-    final[:, :61] /= BLENDSHAPE_SCALE  # back to LiveLink space (reference: :102)
-    return final
+    return blend_decoded_chunks(decoded, lengths, remaining, overlap,
+                                num_frames)

@@ -1,27 +1,40 @@
-"""Device-resident wav→blendshape serving pipeline (one upload, one download).
+"""Device-resident wav→blendshape serving pipeline (one upload, one program).
 
 The host serving path (inference/chunked.py, matching the reference's
 utils/audio/processing/audio_processing.py:50-112) round-trips through host
 memory twice per request: waveform up, features down, chunk batch up, frames
 down. On TPU the interconnect — PCIe locally, a tunnel on this rig — is the
 serving bottleneck: the device frontend finishes 60 s of audio in ~40 ms
-while the fp32 waveform upload alone costs seconds (docs/PERF.md).
+while the fp32 waveform upload alone costs seconds, and each extra device
+dispatch pays the link's round-trip latency (docs/PERF.md).
 
-TPU-first redesign: ONE host→device transfer and ONE device program.
+TPU-first redesign: ONE host→device transfer, ONE device program per
+request, and compile cost bounded by shape buckets.
 
 - The upload is **int16 PCM** when the source is a 16-bit WAV at the target
   rate (the LiveLink capture format) — half the bytes of fp32. The /32768
   widening is a power-of-two multiply (exact in fp32), so device-side
   normalization is bitwise-identical to the host loader
   (utils/audio_io.py:_decode_wav + peak-normalize).
-- Feature extraction (ops/frontend.py), the static chunk gathers (including
-  the reference's reflect tail padding, audio_processing.py:14-23), the
-  batched seq2seq decode, the serial overlap cross-fade (:33-48, unrolled
-  over the static chunk count), the tail fix-up (:86-93), and the ÷100
-  rescale (:102) all run inside a single jit program.
-- Only the final [T, 61] LiveLink-space frames come back to host.
+- Static shapes, dynamic truth: the waveform is zero-padded to a
+  power-of-two sample bucket and the TRUE length rides along as a *traced*
+  scalar. The frontend's clip-global statistics (CMVN, top_db max), its
+  Savitzky-Golay right edge, the autocorrelation's reflected tail and
+  dead-edge fix, and the 120→60 fps pair-reduce parity are all evaluated at
+  the traced valid length (ops/frontend.py:extract_features_valid), so the
+  valid rows equal the unpadded extraction. The chunk gather-index matrix
+  (padded to a power-of-two chunk count) is a traced operand too. The whole
+  frontend → gather → batched 228M decode program therefore compiles once
+  per (sample-bucket, chunk-bucket) pair and serves ANY clip length.
+- The serial overlap cross-fade (reference :33-48), tail fix-up (:86-93)
+  and ÷100 rescale (:102) run on host over the downloaded
+  [chunks, frame_size, 61] frames (shared with the host path:
+  inference/chunked.py:blend_decoded_chunks) — a small download next to
+  the waveform upload it replaces.
 
-Equality with the host path is pinned over many clip lengths in
+Equality with the host path is pinned over many clip lengths (covering both
+reduce parities and multi-bucket geometries), and the program's
+compile-cache reuse across lengths is asserted, in
 tests/test_device_pipeline.py.
 """
 
@@ -36,10 +49,23 @@ import jax
 import jax.numpy as jnp
 
 from neurosync_trainer_lite_tpu.config import Config
-from neurosync_trainer_lite_tpu.data.processing import BLENDSHAPE_SCALE
+from neurosync_trainer_lite_tpu.inference.chunked import (
+    blend_decoded_chunks,
+    chunk_plan,
+)
 from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
 from neurosync_trainer_lite_tpu.ops import frontend_np as F
-from neurosync_trainer_lite_tpu.ops.frontend import _autocorr_187, _mfcc_69
+from neurosync_trainer_lite_tpu.ops.frontend import (
+    MIN_SAMPLE_BUCKET,
+    extract_features_valid,
+)
+
+
+def _pow2_bucket(n: int, minimum: int) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 def _num_frames_120(n_samples: int, frame_length: int) -> int:
@@ -51,23 +77,14 @@ def _num_frames_120(n_samples: int, frame_length: int) -> int:
     return 1 + (padded - frame_length) // hop
 
 
-def _chunk_geometry(num_frames: int, frame_length: int, overlap: int):
-    """Static chunk plan mirroring inference/chunked.py exactly:
-    (gather index rows [N, frame_length], per-chunk valid lengths,
-    remaining tail frames or 0)."""
-    starts, start = [], 0
-    while start < num_frames:
-        starts.append(start)
-        start += frame_length - overlap
-    lengths = [min(s + frame_length, num_frames) - s for s in starts]
-
-    acc_len = lengths[0] if lengths else 0
-    for L in lengths[1:]:
-        acc_len += L - min(overlap, acc_len, L)
-    remaining = max(0, num_frames - acc_len)
+def _gather_rows(num_frames: int, frame_length: int, overlap: int):
+    """Gather index rows [N(+tail), frame_length] mirroring the host path's
+    chunk extraction + reflect tail padding (inference/chunked.py:
+    pad_audio_chunk), plus the chunk plan they came from."""
+    starts, lengths, remaining = chunk_plan(num_frames, frame_length, overlap)
 
     def reflect_rows(s: int, L: int) -> np.ndarray:
-        # np.pad(..., mode='reflect') index series == pad the index vector
+        # np.pad(data, reflect) index series == pad the index vector
         idx = np.arange(s, s + L)
         if L < frame_length:
             idx = np.pad(idx, (0, frame_length - L), mode="reflect")
@@ -80,54 +97,30 @@ def _chunk_geometry(num_frames: int, frame_length: int, overlap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "cfg", "normalize"))
-def _infer_device(y, sr: int, cfg: Config, params, normalize: bool):
-    """waveform (int16 or float32, device) → [T, output_dim] LiveLink frames."""
-    y = y.astype(jnp.float32)
+def _infer_bucketed(y_pad, n_samples, idx, params, sr: int, cfg: Config,
+                    normalize: bool):
+    """[s_bucket] waveform (+ traced true length) + [n_bucket, frame_size]
+    gather rows → [n_bucket, frame_size, output_dim]. Caches purely on the
+    bucket shapes — never on the clip length."""
+    y = y_pad.astype(jnp.float32)
     if normalize:
         # int16 widening: /32768 is exact in fp32, then the same peak divide
-        # the host loader applies (utils/audio_io.py) — bitwise identical.
+        # the host loader applies (pad zeros affect neither) — bitwise
+        # identical to utils/audio_io.py
         y = y * jnp.float32(1.0 / 32768.0)
         peak = jnp.max(jnp.abs(y))
         y = jnp.where(peak > 0, y / jnp.where(peak > 0, peak, 1.0), y)
-
-    frame_length = int(0.01667 * sr)
-    feats = jnp.concatenate(
-        [_mfcc_69(y, sr, frame_length), _autocorr_187(y, frame_length)], axis=1)
-
-    t120 = _num_frames_120(y.shape[0], frame_length)
-    num_frames = t120 // 2 + (t120 % 2)
-    rows, lengths, remaining = _chunk_geometry(
-        num_frames, cfg.frame_size, cfg.overlap)
-
-    chunks = feats[jnp.asarray(rows)]              # [N, frame_size, 256]
-    decoded = seq2seq_apply(params, chunks, cfg)   # [N, frame_size, 61]
-    decoded = decoded.astype(jnp.float32)
-
-    # serial overlap cross-fade, unrolled over the static chunk count
-    # (reference: audio_processing.py:33-48; lengths are compile-time ints)
-    overlap = cfg.overlap
-    acc = decoded[0][: lengths[0]]
-    for i in range(1, len(lengths)):
-        nxt = decoded[i][: lengths[i]]
-        a = min(overlap, acc.shape[0], nxt.shape[0])
-        if a == 0:
-            acc = jnp.concatenate([acc, nxt])
-            continue
-        alpha = (jnp.arange(a, dtype=jnp.float32) / a)[:, None]
-        blended = (1.0 - alpha) * acc[-a:] + alpha * nxt[:a]
-        acc = jnp.concatenate([acc[:-a], blended, nxt[a:]])
-    if remaining > 0:
-        acc = jnp.concatenate([acc, decoded[-1][:remaining]])
-
-    return acc[:num_frames] / jnp.float32(BLENDSHAPE_SCALE)
+    feats = extract_features_valid(y, n_samples, sr)
+    chunks = feats[idx]
+    return seq2seq_apply(params, chunks, cfg).astype(jnp.float32)
 
 
 def infer_waveform_device(y: np.ndarray, params, cfg: Config,
                           *, normalized: bool = False) -> np.ndarray | None:
-    """Mono waveform at cfg.sr → [T, 61] LiveLink frames, all on device.
+    """Mono waveform at cfg.sr → [T, 61] LiveLink frames.
 
     y: int16 PCM (uploaded raw; widened + peak-normalized on device) or a
-    float array (peak-normalized on device unless ``normalized=True``).
+    float array (peak-normalized on host unless ``normalized=True``).
     Returns None for clips shorter than the frontend minimum
     (reference: extract_features.py:14-20).
     """
@@ -136,8 +129,14 @@ def infer_waveform_device(y: np.ndarray, params, cfg: Config,
     hop = frame_length // 2
     if (y.shape[0] - frame_length) // hop + 1 < F.MIN_FRAMES:
         return None
+    n = y.shape[0]
+    # + tail margin so the autocorrelation's reflected pad fits in the
+    # zero region (ops/frontend.py:_autocorr_187_valid)
+    s_bucket = _pow2_bucket(n + frame_length // 2 + 1, MIN_SAMPLE_BUCKET)
+
     if y.dtype == np.int16:
-        dev = jnp.asarray(y)  # half the upload bytes of fp32
+        y_pad = np.zeros(s_bucket, np.int16)
+        y_pad[:n] = y                       # half the upload bytes of fp32
         normalize = True
     else:
         yf = np.asarray(y, np.float32)
@@ -145,10 +144,29 @@ def infer_waveform_device(y: np.ndarray, params, cfg: Config,
             peak = np.max(np.abs(yf)) if yf.size else 0.0
             if peak > 0:
                 yf = yf / peak
-        dev = jnp.asarray(yf)
+        y_pad = np.zeros(s_bucket, np.float32)
+        y_pad[:n] = yf
         normalize = False
-    out = _infer_device(dev, cfg.sr, cfg, params, normalize)
-    return np.asarray(out)
+
+    t120 = _num_frames_120(n, frame_length)
+    num_frames = t120 // 2 + (t120 % 2)
+    rows, lengths, remaining = _gather_rows(num_frames, cfg.frame_size,
+                                            cfg.overlap)
+    n_true = rows.shape[0]
+    n_bucket = _pow2_bucket(n_true, 1)
+    if n_bucket != n_true:
+        # pad with copies of the first row; the decoded pad rows are discarded
+        rows = np.concatenate(
+            [rows, np.broadcast_to(rows[:1], (n_bucket - n_true,
+                                              rows.shape[1]))])
+
+    decoded = _infer_bucketed(jnp.asarray(y_pad), jnp.int32(n),
+                              jnp.asarray(rows), params, cfg.sr, cfg,
+                              normalize)
+    decoded = np.asarray(decoded[:n_true], dtype=np.float64)
+
+    return blend_decoded_chunks(decoded, lengths, remaining, cfg.overlap,
+                                num_frames)
 
 
 def _sniff_wav_int16(audio_bytes: bytes, sr: int) -> np.ndarray | None:

@@ -25,9 +25,10 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 
 from neurosync_trainer_lite_tpu.config import Config
 
-#: reject request bodies larger than this (an hour of 88.2kHz stereo wav is
-#: well under it; anything bigger would exhaust host memory before decode)
-MAX_BODY_BYTES = 100 * 1024 * 1024
+#: reject request bodies larger than this before reading them. Sized so a
+#: full hour of 88.2 kHz 16-bit mono WAV (~635 MB) fits with headroom while
+#: a runaway upload still can't exhaust host memory.
+MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
 def make_handler(params, cfg: Config):

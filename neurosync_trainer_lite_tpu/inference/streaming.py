@@ -53,25 +53,25 @@ class BlendshapeStreamer:
     TRIM_THRESHOLD_FRAMES = 512
     #: frames of context kept behind the consumption point when trimming
     TRIM_MARGIN_FRAMES = 64
-    #: feature extraction runs on a prefix of the buffer quantized DOWN to a
-    #: multiple of this many 60 fps frames. The device frontend jit-compiles
-    #: per input length (~20-40 s per fresh length on a real TPU); without
-    #: quantization every push would hit a new length and a live session
-    #: would spend all its time compiling. With it — and with trimming
-    #: keeping the buffer bounded — the set of lengths converges and steady
-    #: state runs fully from the compile cache. Costs up to this many frames
-    #: of extra latency per push; semantics are unchanged (extracting over a
-    #: prefix is exactly the documented buffered-audio CMVN behavior).
-    FEATURE_QUANT_FRAMES = 32
+    #: legacy knob for CUSTOM extractors whose compile cost depends on the
+    #: input length: feature extraction then runs on a prefix of the buffer
+    #: quantized DOWN to a multiple of this many 60 fps frames, so the set
+    #: of lengths converges (at up to that many frames of extra latency per
+    #: push). The DEFAULT extractor no longer needs it — it is the bucketed
+    #: traced-length frontend (ops/frontend.py:extract_audio_features_bucketed),
+    #: which compiles per power-of-two sample bucket, not per length — so
+    #: this defaults to 0 (off) and every pushed sample is visible
+    #: immediately.
+    FEATURE_QUANT_FRAMES = 0
 
     def __init__(self, params, cfg: Config, *, extract_features=None):
-        from neurosync_trainer_lite_tpu.data.processing import (
-            extract_audio_features)
+        from neurosync_trainer_lite_tpu.ops.frontend import (
+            extract_audio_features_bucketed)
 
         self.params = params
         self.cfg = cfg
         self._extract = extract_features or (
-            lambda y: extract_audio_features(y, cfg.sr)[0])
+            lambda y: extract_audio_features_bucketed(y, cfg.sr))
         self._audio = np.zeros((0,), np.float32)      # buffered samples
         self._features = np.zeros((0, cfg.input_dim), np.float32)
         self._pending: np.ndarray | None = None       # provisional tail frames
@@ -81,8 +81,55 @@ class BlendshapeStreamer:
         # frontend's two 120 fps hops tile it (frame_length even, the default
         # sr=88200 → 1470); trimming relies on that alignment
         self._frame_samples = int(0.01667 * cfg.sr)
-        self._can_trim = (extract_features is None
+        self._default_extract = extract_features is None
+        self._can_trim = (self._default_extract
                           and self._frame_samples % 2 == 0)
+
+    def warmup(self, max_buffer_seconds: float | None = None) -> int:
+        """Pre-compile every device program a live session will touch.
+
+        The bucketed frontend compiles once per power-of-two sample bucket;
+        without warmup the first push into each new bucket stalls a live
+        session for a fresh XLA compile (measured 12.5 s mid-session on a
+        real TPU — docs/PERF.md). Trimming bounds the audio buffer, so the
+        set of buckets a session can reach is finite and known up front:
+        this walks each bucket (plus the decode program) on noise before any
+        real audio arrives. Returns the number of frontend buckets warmed.
+
+        max_buffer_seconds: cap on the buffered-audio length to warm for;
+        defaults to the trim bound (TRIM_THRESHOLD + margin + two chunks of
+        slack). Only meaningful with the default extractor — a custom
+        extractor is called once at the cap instead.
+        """
+        from neurosync_trainer_lite_tpu.ops.frontend import MIN_SAMPLE_BUCKET
+
+        cfg = self.cfg
+        if max_buffer_seconds is None:
+            bound_frames = (self.TRIM_THRESHOLD_FRAMES
+                            + self.TRIM_MARGIN_FRAMES + 2 * cfg.frame_size)
+            max_samples = bound_frames * self._frame_samples
+        else:
+            max_samples = int(max_buffer_seconds * cfg.sr)
+
+        # decode program: fixed [1, frame_size, input_dim] shape
+        rng = np.random.default_rng(0)
+        chunk = rng.standard_normal(
+            (1, cfg.frame_size, cfg.input_dim)).astype(np.float32)
+        decode_chunks_batched(self.params, chunk, cfg)
+
+        if not self._default_extract:
+            self._extract(rng.standard_normal(max_samples).astype(np.float32))
+            return 1
+
+        margin = self._frame_samples // 2 + 1  # autocorr reflected-tail room
+        warmed, bucket = 0, MIN_SAMPLE_BUCKET
+        while True:
+            n = min(bucket - margin, max_samples)
+            self._extract(rng.standard_normal(n).astype(np.float32) * 0.1)
+            warmed += 1
+            if n >= max_samples:
+                return warmed
+            bucket *= 2
 
     # -- feeding ------------------------------------------------------------
 
@@ -137,11 +184,11 @@ class BlendshapeStreamer:
 
         CMVN makes early rows drift slightly as audio accrues (documented in
         the module docstring); the refresh is skipped only when extraction
-        yields nothing new beyond the consumption point. Except at flush,
-        extraction sees a length-quantized prefix of the buffer so the
-        device frontend's per-length jit cache converges (see
-        FEATURE_QUANT_FRAMES); the un-quantized remainder simply waits for
-        the next push.
+        yields nothing new beyond the consumption point. With a custom
+        extractor and FEATURE_QUANT_FRAMES > 0, extraction sees a
+        length-quantized prefix of the buffer (pre-bucketed-frontend compile
+        hygiene — see the class attribute); the remainder waits for the
+        next push. The default bucketed extractor needs no quantization.
         """
         y = self._audio
         if not final and self.FEATURE_QUANT_FRAMES > 0:

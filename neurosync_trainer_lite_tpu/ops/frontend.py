@@ -188,6 +188,189 @@ def _autocorr_187(y: jnp.ndarray, frame_length: int,
     return _reduce_features(ac.T).T
 
 
+# ---------------------------------------------------------------------------
+# valid-length-masked variants: same math on a zero-padded bucket
+# ---------------------------------------------------------------------------
+#
+# The serving pipeline (inference/device_pipeline.py) pads the waveform to a
+# power-of-two sample bucket so the fused frontend+decode program compiles
+# once per bucket instead of once per clip length. The pad region is zeros;
+# everything below reproduces the unpadded functions' values on the valid
+# rows with the TRUE length as a *traced* scalar:
+# - MFCC framing pads with zeros anyway, so per-frame spectra are already
+#   exact; only the clip-global stats (top_db max, CMVN mean/std), the
+#   Savitzky-Golay right-edge rows, and the pair-reduce odd-tail need masking
+#   or dynamic patching.
+# - Autocorrelation reflect-pads the true tail, so the reflected samples are
+#   written into the pad region at the traced boundary first; the dead-edge
+#   fix moves to the dynamic last-valid index.
+# Rows at/beyond the valid frame count are garbage and must not be consumed
+# (the chunk gather never references them).
+
+
+def _savgol_delta_valid(x: jnp.ndarray, t_valid, width: int = 9,
+                        order: int = 1) -> jnp.ndarray:
+    """_savgol_delta with the right-edge rows re-derived at the traced valid
+    end (the static version's edge matrices sit at the bucket end)."""
+    _, _, right = _savgol_constants(width, order)
+    half = width // 2
+    out = _savgol_delta(x, width, order)
+    lastw = jax.lax.dynamic_slice(
+        x, (0, t_valid - width), (x.shape[0], width))       # last 9 valid
+    patch = lastw @ jnp.asarray(right).T                     # [C, half]
+    return jax.lax.dynamic_update_slice(out, patch, (0, t_valid - half))
+
+
+def _reduce_features_valid(x: jnp.ndarray, t_valid) -> jnp.ndarray:
+    """Pair-average over time with the odd-valid-tail kept, at a traced
+    valid length. x: [C, T_bucket(even)] → [C, T_bucket//2]; output rows at
+    index ≥ (t_valid+1)//2 are garbage."""
+    if x.shape[1] % 2 == 1:
+        x = x[:, :-1]  # bucket parity is static; the dropped row is garbage
+    red = x.reshape(x.shape[0], -1, 2).mean(axis=2)
+    # odd valid length: the last valid output row is the single frame
+    # x[:, t_valid-1], not a pair average (matches _reduce_features' tail)
+    last = jax.lax.dynamic_slice(x, (0, t_valid - 1), (x.shape[0], 1))
+    patched = jax.lax.dynamic_update_slice(red, last, (0, t_valid // 2))
+    return jnp.where(t_valid % 2 == 1, patched, red)
+
+
+def _mfcc_69_valid(y: jnp.ndarray, sr: int, frame_length: int,
+                   t120: jnp.ndarray) -> jnp.ndarray:
+    """_mfcc_69 on a zero-padded bucket with t120 valid frames (traced)."""
+    win, mel_T, dct_T = _mfcc_constants(sr, frame_length, 128, 23)
+    cos_m, msin_m = _rdft_matrices(frame_length)
+
+    y_pad = jnp.pad(y, frame_length // 2, mode="constant")
+    frames = _frame_half_overlap(y_pad, frame_length) * jnp.asarray(win)
+
+    re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(msin_m), preferred_element_type=jnp.float32)
+    power = re * re + im * im
+
+    mel = jnp.dot(power, jnp.asarray(mel_T),
+                  preferred_element_type=jnp.float32)       # [T_bucket, 128]
+    valid = (jnp.arange(mel.shape[0]) < t120)[:, None]
+    mel_db = 10.0 * jnp.log10(jnp.maximum(1e-10, mel))
+    vmax = jnp.max(jnp.where(valid, mel_db, -jnp.inf))      # top_db over valid
+    mel_db = jnp.maximum(mel_db, vmax - 80.0)
+
+    mfcc = jnp.dot(mel_db, jnp.asarray(dct_T),
+                   preferred_element_type=jnp.float32).T    # [23, T_bucket]
+
+    # CMVN over the valid frames only
+    maskT = valid.T.astype(jnp.float32)                     # [1, T_bucket]
+    n = t120.astype(jnp.float32)
+    mean = jnp.sum(mfcc * maskT, axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.square(mfcc - mean) * maskT, axis=1, keepdims=True) / n
+    mfcc = (mfcc - mean) / (jnp.sqrt(var) + 1e-10)
+
+    stacked = jnp.concatenate(
+        [mfcc, _savgol_delta_valid(mfcc, t120, 9, 1),
+         _savgol_delta_valid(mfcc, t120, 9, 2)], axis=0)
+    return _reduce_features_valid(stacked, t120).T
+
+
+def _autocorr_187_valid(y: jnp.ndarray, frame_length: int, n_samples,
+                        t120, num_coeff: int = 187) -> jnp.ndarray:
+    """_autocorr_187 on a zero-padded bucket with n_samples valid (traced).
+
+    Requires bucket ≥ n_samples + frame_length//2 + 1 so the reflected tail
+    fits in the pad region (the caller's bucket choice guarantees it).
+    """
+    half = frame_length // 2
+    # write the true clip's reflect-pad into the zero region: np.pad reflect
+    # appends y[n-2], y[n-3], … y[n-half-1]
+    seg = jax.lax.dynamic_slice(y, (n_samples - (half + 1),), (half + 1,))
+    tail = jnp.flip(seg[:-1])
+    y = jax.lax.dynamic_update_slice(y, tail, (n_samples,))
+
+    y_pad = jnp.pad(y, half, mode="reflect")
+    frames = _frame_half_overlap(y_pad, frame_length)
+    frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    frames = frames * jnp.asarray(
+        F.hann_symmetric(frame_length).astype(np.float32))
+
+    nfft = 1
+    while nfft < 2 * frame_length - 1:
+        nfft *= 2
+    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
+    ac = jnp.fft.irfft(jnp.abs(spec) ** 2, n=nfft, axis=-1)[:, : num_coeff + 1]
+    ac = ac.astype(jnp.float32)
+
+    r0 = ac[:, :1]
+    ac = jnp.where(r0 != 0, ac / jnp.where(r0 == 0, 1.0, r0), ac)
+    ac = ac[:, 1:]
+
+    # dead-edge fix at the static first and the traced last-valid frame
+    first_dead = jnp.all(jnp.abs(ac[0]) < 1e-7)
+    ac = ac.at[0].set(jnp.where(first_dead, ac[1], ac[0]))
+    lastf = jax.lax.dynamic_slice(ac, (t120 - 1, 0), (1, ac.shape[1]))
+    prevf = jax.lax.dynamic_slice(ac, (t120 - 2, 0), (1, ac.shape[1]))
+    last_dead = jnp.all(jnp.abs(lastf) < 1e-7)
+    ac = jax.lax.dynamic_update_slice(
+        ac, jnp.where(last_dead, prevf, lastf), (t120 - 1, 0))
+
+    return _reduce_features_valid(ac.T, t120).T
+
+
+def extract_features_valid(y: jnp.ndarray, n_samples, sr: int) -> jnp.ndarray:
+    """Bucket-padded waveform + traced valid sample count → [T60_bucket, 256]
+    features whose first (t120+1)//2 rows equal the unpadded extraction
+    (tests/test_device_pipeline.py pins equality through the serving path)."""
+    frame_length = int(0.01667 * sr)
+    hop = frame_length // 2
+    if frame_length % 2 == 0:
+        t120 = (n_samples + 2 * (frame_length // 2)) // hop - 1
+    else:
+        t120 = 1 + (n_samples + 2 * (frame_length // 2) - frame_length) // hop
+    return jnp.concatenate(
+        [_mfcc_69_valid(y, sr, frame_length, t120),
+         _autocorr_187_valid(y, frame_length, n_samples, t120)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _extract_valid_jit(y_pad: jnp.ndarray, n_samples, sr: int) -> jnp.ndarray:
+    return extract_features_valid(y_pad.astype(jnp.float32), n_samples, sr)
+
+
+#: smallest power-of-two sample bucket (~1.5 s at 88.2 kHz); buckets double
+#: above it, so an hour-long clip is ~12 compile variants from the shortest
+MIN_SAMPLE_BUCKET = 1 << 17
+
+
+def extract_audio_features_bucketed(y, sr: int = 88200,
+                                    min_bucket: int = MIN_SAMPLE_BUCKET):
+    """Like extract_audio_features_jax but with compile cost bounded by
+    power-of-two sample buckets instead of one compile per input length:
+    the waveform is zero-padded to a bucket and the true length rides along
+    as a traced scalar (extract_features_valid). Built for callers that see
+    arbitrary, growing lengths — the streamer re-extracts its audio buffer
+    on every push (inference/streaming.py)."""
+    y = np.asarray(y, np.float32).reshape(-1)
+    frame_length = int(0.01667 * sr)
+    hop = frame_length // 2
+    n = y.shape[0]
+    num_frames = (n - frame_length) // hop + 1
+    if num_frames < F.MIN_FRAMES:
+        return None
+    bucket = min_bucket
+    while bucket < n + frame_length // 2 + 1:  # autocorr reflected-tail room
+        bucket *= 2
+    y_pad = np.zeros(bucket, np.float32)
+    y_pad[:n] = y
+    if frame_length % 2 == 0:
+        t120 = (n + 2 * (frame_length // 2)) // hop - 1
+    else:
+        t120 = 1 + (n + 2 * (frame_length // 2) - frame_length) // hop
+    t60 = t120 // 2 + (t120 % 2)
+    feats = _extract_valid_jit(jnp.asarray(y_pad), jnp.int32(n), sr)
+    # download the whole bucket and slice on host: slicing on device would
+    # compile (and dispatch) a tiny per-length program — one extra link
+    # round-trip per new length
+    return np.asarray(feats)[:t60]
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "normalize"))
 def _extract_jit(y: jnp.ndarray, sr: int, normalize: bool = False) -> jnp.ndarray:
     y = y.astype(jnp.float32)

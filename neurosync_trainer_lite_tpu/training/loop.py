@@ -146,19 +146,26 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
     return state, batch_step, mean_loss
 
 
+def _activation_bytes(cfg: Config, n_data_shards: int = 1) -> int:
+    """Calibrated bf16-activation estimate of one no-remat train step
+    (per device): ≈ 2·B·T·H·(25·L_enc + 35·L_dec). Single source for both
+    the HBM estimator and the auto-remat planner's resident-layer math."""
+    B = max(1, cfg.batch_size // max(1, n_data_shards))
+    if cfg.grad_accum_steps > 1:
+        B = max(1, B // cfg.grad_accum_steps)
+    return 2 * B * cfg.micro_batch_size * cfg.hidden_dim * (60 * cfg.n_layers)
+
+
 def estimate_step_hbm_bytes(cfg: Config, n_data_shards: int = 1) -> int:
     """Rough peak-HBM estimate for one no-remat train step (per device).
 
     Calibrated against the measured 20.9 GB peak of the 228M model at
     batch 128 × 128 frames on v5e (docs/PERF.md): bf16 activations
-    ≈ 2·B·T·H·(25·L_enc + 35·L_dec) plus fp32 params + grads + Adam moments
+    (_activation_bytes) plus fp32 params + grads + Adam moments
     ≈ 16·n_params bytes. Used only to decide auto-remat — an over-estimate
     merely trades ~10% step time for not OOMing.
     """
-    B = max(1, cfg.batch_size // max(1, n_data_shards))
-    if cfg.grad_accum_steps > 1:
-        B = max(1, B // cfg.grad_accum_steps)
-    acts = 2 * B * cfg.micro_batch_size * cfg.hidden_dim * (60 * cfg.n_layers)
+    acts = _activation_bytes(cfg, n_data_shards)
     n_params = (cfg.input_dim * cfg.hidden_dim
                 + cfg.n_layers * 28 * cfg.hidden_dim * cfg.hidden_dim
                 + cfg.hidden_dim * cfg.output_dim)
@@ -222,9 +229,7 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
     # costs ~2.2x its share of that estimate in practice (fp32 attention
     # residuals, dropout mask bytes, allocator slack — calibrated against the
     # measured fit boundary on the 16 GB v5e: 1 resident layer fits, 2 OOM)
-    B = max(1, cfg.batch_size // max(1, n_data_shards * max(1, cfg.grad_accum_steps)))
-    acts = 2 * B * cfg.micro_batch_size * cfg.hidden_dim * (60 * cfg.n_layers)
-    dec_acts = acts * 35 // 60
+    dec_acts = _activation_bytes(cfg, n_data_shards) * 35 // 60
     per_resident_layer = 2.2 * dec_acts / cfg.n_layers
     spare = budget - (need - dec_acts)
     resident = int(max(0, min(cfg.n_layers - 1, spare // per_resident_layer)))

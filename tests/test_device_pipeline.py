@@ -105,3 +105,19 @@ def test_bytes_entry_resample_fallback_matches_api(params):
     host = generate_facial_data_from_bytes(wav, params, CFG)
     dev = generate_facial_data_from_bytes_device(wav, params, CFG)
     np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-6)
+
+
+def test_decode_program_reuses_compile_cache_across_lengths(params):
+    """The expensive decode program must cache on shape buckets, not on the
+    clip length: many distinct lengths inside one (feature-bucket,
+    chunk-bucket) pair → exactly one new cache entry."""
+    from neurosync_trainer_lite_tpu.inference import device_pipeline as dp
+
+    before = dp._infer_bucketed._cache_size()
+    rng = np.random.default_rng(0)
+    # 3.0–3.6 s: same sample bucket (2^19) and chunk bucket (2 chunks)
+    for seconds in (3.0, 3.2, 3.4, 3.6):
+        y = rng.standard_normal(int(CFG.sr * seconds)).astype(np.float32)
+        out = dp.infer_waveform_device(y, params, CFG, normalized=True)
+        assert out is not None
+    assert dp._infer_bucketed._cache_size() <= before + 1

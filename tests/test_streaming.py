@@ -151,6 +151,9 @@ def test_extraction_lengths_converge_for_live_sessions(setup):
     s._frame_samples = spf
     s.TRIM_THRESHOLD_FRAMES = 64
     s.TRIM_MARGIN_FRAMES = 16
+    # custom extractors opt into prefix quantization (the default bucketed
+    # frontend no longer needs it — its compile cache is bounded by buckets)
+    s.FEATURE_QUANT_FRAMES = 32
     audio = np.random.default_rng(5).standard_normal(2000 * spf).astype(np.float32)
     for i in range(0, len(audio), 9 * spf):
         s.push_audio(audio[i: i + 9 * spf])
@@ -208,3 +211,64 @@ def test_trimming_bounds_buffer_and_preserves_output(setup):
     assert frames_trim.shape == frames_none.shape
     np.testing.assert_allclose(frames_trim, frames_none, atol=1e-5)
     assert buf_trim < buf_none, (buf_trim, buf_none)
+
+
+def test_default_extractor_matches_offline_and_bounds_compiles():
+    """The streamer's default frontend is the bucketed traced-length
+    extractor: every pushed sample is visible immediately (no quantization
+    latency), outputs match the offline path on the core, and the compile
+    cache stays bounded across growing buffer lengths."""
+    from neurosync_trainer_lite_tpu.data.processing import (
+        extract_audio_features)
+    from neurosync_trainer_lite_tpu.ops import frontend as fe
+
+    cfg = tiny_config(hidden_dim=32, n_layers=1, num_heads=2)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    sr = cfg.sr
+    audio = (np.random.default_rng(5).standard_normal(sr * 6) * 0.4
+             ).astype(np.float32)
+
+    feats, _ = extract_audio_features(audio, sr)
+    offline = process_audio_features(np.asarray(feats), params, cfg)
+
+    before = fe._extract_valid_jit._cache_size()
+    streamer = BlendshapeStreamer(params, cfg)
+    step = sr // 3  # uneven pushes: many distinct buffer lengths
+    for i in range(0, len(audio), step):
+        streamer.push_audio(audio[i: i + step])
+    streamer.flush()
+    streamed = streamer.pop_frames()
+    # ~18 distinct buffer lengths, but compiles grow with log2 of the buffer:
+    # a 6 s session spans the 2^17..2^20 sample buckets → ≤4 cache entries
+    assert fe._extract_valid_jit._cache_size() <= before + 4
+
+    assert streamed.shape == offline.shape
+    core = len(offline) - cfg.frame_size
+    # core equality up to the documented CMVN drift (features re-extracted
+    # over a shifted, bounded buffer)
+    np.testing.assert_allclose(streamed[:core], offline[:core],
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_warmup_precompiles_all_session_buckets():
+    """warmup() must walk every frontend bucket a trim-bounded session can
+    reach plus the decode program, so a live session never compiles
+    mid-stream: after warmup, pushes across growing buffer lengths add ZERO
+    new frontend cache entries."""
+    from neurosync_trainer_lite_tpu.ops import frontend as fe
+
+    cfg = tiny_config(hidden_dim=32, n_layers=1, num_heads=2)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    streamer = BlendshapeStreamer(params, cfg)
+    n_warmed = streamer.warmup(max_buffer_seconds=6.0)
+    assert n_warmed >= 1
+
+    after_warm = fe._extract_valid_jit._cache_size()
+    audio = (np.random.default_rng(7).standard_normal(cfg.sr * 6) * 0.4
+             ).astype(np.float32)
+    step = cfg.sr // 3
+    for i in range(0, len(audio), step):
+        streamer.push_audio(audio[i: i + step])
+    streamer.flush()
+    assert streamer.pop_frames().shape[0] > 0
+    assert fe._extract_valid_jit._cache_size() == after_warm
