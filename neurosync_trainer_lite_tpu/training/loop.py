@@ -229,9 +229,26 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
     # costs ~2.2x its share of that estimate in practice (fp32 attention
     # residuals, dropout mask bytes, allocator slack — calibrated against the
     # measured fit boundary on the 16 GB v5e: 1 resident layer fits, 2 OOM)
-    dec_acts = _activation_bytes(cfg, n_data_shards) * 35 // 60
+    acts = _activation_bytes(cfg, n_data_shards)
+    dec_acts = acts * 35 // 60
     per_resident_layer = 2.2 * dec_acts / cfg.n_layers
     spare = budget - (need - dec_acts)
+    if spare < 0:
+        # even a fully-rematted decoder won't fit (e.g. batch ≥256 on a
+        # 16 GB chip: the resident ENCODER activations alone blow the
+        # budget) — escalate to scope='all', which keeps only the per-layer
+        # scan carries resident. Warn when even that looks too big.
+        need_all = need - acts  # params/opt/grads + batch + slack
+        if verbose:
+            print(f"auto-remat: estimated step needs ~{need/1e9:.1f} GB of "
+                  f"~{limit/1e9:.1f} GB HBM and a rematted decoder alone "
+                  f"isn't enough — enabling remat_scope='all' "
+                  "(set auto_remat=False to override)")
+            if need_all > budget:
+                print(f"auto-remat: WARNING — even full remat estimates "
+                      f"~{need_all/1e9:.1f} GB; consider grad_accum_steps "
+                      "or a smaller batch_size")
+        return cfg.replace(remat=True, remat_scope="all", remat_layers=-1)
     resident = int(max(0, min(cfg.n_layers - 1, spare // per_resident_layer)))
     remat_layers = (cfg.n_layers - resident) if resident > 0 else -1
     if verbose:

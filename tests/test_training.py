@@ -205,6 +205,12 @@ def test_auto_remat_planner_decisions():
         # explicit remat config is never second-guessed
         explicit = full_config(remat=True, remat_scope="all")
         assert loop._maybe_auto_remat(explicit, 1, verbose=False) is explicit
+        # batch 256: even a fully-rematted decoder leaves the resident
+        # encoder activations over budget — must escalate to scope='all',
+        # not ship a decoder-scope program that OOMs
+        big = loop._maybe_auto_remat(
+            full_config().replace(batch_size=256), 1, verbose=False)
+        assert big.remat and big.remat_scope == "all"
 
 
 def test_partial_remat_grads_match_no_remat(rng):
