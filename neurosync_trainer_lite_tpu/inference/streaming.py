@@ -31,6 +31,14 @@ revised. Consumed audio beyond a context margin is dropped
 per-push work. Offline and streaming outputs therefore agree to CMVN-drift
 tolerance, not bit-exactly — and tail frames use blended (not the offline
 path's concatenated) semantics.
+
+Structure: the feature→frame half lives in `FrameAssembler` (consumption
+cursor, provisional tail, window planning, overlap blend). Its drain is
+two-phase — `plan()` lists the windows a drain will decode WITHOUT decoding,
+`apply()` blends the decoded results — so window decodes batch: across
+catch-up windows within one session, and across sessions in
+`MultiStreamer` (inference/multi_stream.py), where K live sessions share one
+device program per tick.
 """
 
 from __future__ import annotations
@@ -44,6 +52,132 @@ from neurosync_trainer_lite_tpu.inference.chunked import (
     decode_chunks_batched,
     pad_audio_chunk,
 )
+
+
+class FrameAssembler:
+    """Features in → finalized blendshape frames out, overlap-blend continuity.
+
+    Indices live in the owner's current buffer space: feature row i is the
+    i-th 60 fps frame of the (possibly trimmed) audio buffer. `shift(m)`
+    renumbers after the owner drops m frames of audio from the front.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self._features = np.zeros((0, cfg.input_dim), np.float32)
+        self._base = 0                  # buffer-space row index of _features[0]
+        self._pending: np.ndarray | None = None  # provisional tail frames
+        self._emitted: list[np.ndarray] = []
+        self._consumed = 0              # buffer-space rows already decoded
+
+    # -- feeding ------------------------------------------------------------
+
+    @property
+    def consumed(self) -> int:
+        return self._consumed
+
+    @property
+    def n_features(self) -> int:
+        """Highest feature row (buffer space) currently ingested."""
+        return self._base + len(self._features)
+
+    def ingest(self, feats: np.ndarray, base: int = 0) -> None:
+        """Replace the feature window: rows [base, base+len) of buffer space.
+
+        Skipped when it brings nothing new beyond the consumption point
+        (CMVN makes earlier rows drift slightly as audio accrues — finalized
+        frames are never revised, so stale earlier rows are harmless)."""
+        if base + len(feats) > self._consumed:
+            self._features = np.asarray(feats, np.float32)
+            self._base = base
+
+    def shift(self, m: int) -> None:
+        """Owner dropped m frames of audio from the buffer front."""
+        self._consumed -= m
+        self._base -= m
+
+    # -- two-phase drain ----------------------------------------------------
+
+    def plan(self, *, final: bool) -> list[tuple[int, int, int, bool]]:
+        """The windows the next drain will decode: (start, take, hold,
+        is_final_tail) per window, WITHOUT decoding or mutating state.
+        Mirrors the serial drain loop exactly — `hold` is the provisional
+        tail the next window will cross-fade into."""
+        cfg = self.cfg
+        frame_len, overlap = cfg.frame_size, cfg.overlap
+        plans = []
+        consumed = self._consumed
+        pend = 0 if self._pending is None else len(self._pending)
+        n_feat = self.n_features
+        while True:
+            avail = n_feat - consumed
+            if avail <= 0:
+                break
+            if avail < frame_len and not final:
+                break
+            take = min(frame_len, avail)
+            if pend == 0:
+                merged_len = take
+            else:
+                merged_len = pend + take - min(overlap, pend, take)
+            if final and take >= avail:
+                plans.append((consumed, take, 0, True))
+                break
+            hold = min(overlap, merged_len)
+            plans.append((consumed, take, hold, False))
+            consumed += take - hold
+            pend = hold
+        return plans
+
+    def windows(self, plans) -> np.ndarray:
+        """[N, frame_size, input_dim] reflect-padded decode inputs."""
+        cfg = self.cfg
+        return np.stack([
+            pad_audio_chunk(
+                self._features[s - self._base: s - self._base + take],
+                cfg.frame_size, cfg.input_dim)
+            for (s, take, _, _) in plans
+        ])
+
+    def apply(self, plans, decoded: np.ndarray) -> None:
+        """Blend + finalize the decoded windows (same serial accumulation as
+        the offline path's reference math, audio_processing.py:33-48)."""
+        overlap = self.cfg.overlap
+        for (start, take, hold, is_tail), dec in zip(plans, decoded):
+            dec = dec[:take]
+            if self._pending is None:
+                merged = dec
+            else:
+                merged = blend_chunks(self._pending, dec, overlap)
+            if is_tail:
+                self._finalize(merged)
+                self._pending = None
+                self._consumed = start + take
+            else:
+                self._finalize(merged[: len(merged) - hold])
+                self._pending = merged[len(merged) - hold:]
+                self._consumed = start + take - hold
+
+    # -- reading ------------------------------------------------------------
+
+    @property
+    def frames_ready(self) -> int:
+        return sum(len(e) for e in self._emitted)
+
+    def pop_frames(self) -> np.ndarray:
+        """All finalized frames since the last pop: [n, output_dim]."""
+        if not self._emitted:
+            return np.zeros((0, self.cfg.output_dim), np.float64)
+        out = np.concatenate(self._emitted, axis=0)
+        self._emitted = []
+        return out
+
+    def _finalize(self, frames: np.ndarray) -> None:
+        if len(frames) == 0:
+            return
+        out = np.array(frames, np.float64)
+        out[:, :61] /= BLENDSHAPE_SCALE  # LiveLink space (reference: audio_processing.py:102)
+        self._emitted.append(out)
 
 
 class BlendshapeStreamer:
@@ -70,18 +204,15 @@ class BlendshapeStreamer:
 
         self.params = params
         self.cfg = cfg
+        self._default_extract = extract_features is None
         self._extract = extract_features or (
             lambda y: extract_audio_features_bucketed(y, cfg.sr))
         self._audio = np.zeros((0,), np.float32)      # buffered samples
-        self._features = np.zeros((0, cfg.input_dim), np.float32)
-        self._pending: np.ndarray | None = None       # provisional tail frames
-        self._emitted: list[np.ndarray] = []
-        self._consumed_frames = 0                     # features already decoded
+        self._asm = FrameAssembler(cfg)
         # one 60 fps output frame spans exactly frame_length samples when the
         # frontend's two 120 fps hops tile it (frame_length even, the default
         # sr=88200 → 1470); trimming relies on that alignment
         self._frame_samples = int(0.01667 * cfg.sr)
-        self._default_extract = extract_features is None
         self._can_trim = (self._default_extract
                           and self._frame_samples % 2 == 0)
 
@@ -151,11 +282,11 @@ class BlendshapeStreamer:
         m frames of audio shifts indices by exactly m."""
         if not self._can_trim:
             return
-        excess = self._consumed_frames - self.TRIM_MARGIN_FRAMES
+        excess = self._asm.consumed - self.TRIM_MARGIN_FRAMES
         if excess < self.TRIM_THRESHOLD_FRAMES:
             return
         self._audio = self._audio[excess * self._frame_samples:]
-        self._consumed_frames -= excess
+        self._asm.shift(excess)
         self._refresh_features()
 
     def flush(self) -> None:
@@ -167,15 +298,11 @@ class BlendshapeStreamer:
 
     @property
     def frames_ready(self) -> int:
-        return sum(len(e) for e in self._emitted)
+        return self._asm.frames_ready
 
     def pop_frames(self) -> np.ndarray:
         """All finalized frames since the last pop: [n, output_dim]."""
-        if not self._emitted:
-            return np.zeros((0, self.cfg.output_dim), np.float64)
-        out = np.concatenate(self._emitted, axis=0)
-        self._emitted = []
-        return out
+        return self._asm.pop_frames()
 
     # -- internals ----------------------------------------------------------
 
@@ -199,45 +326,12 @@ class BlendshapeStreamer:
         feats = self._extract(y)
         if feats is None:
             return
-        feats = np.asarray(feats, np.float32)
-        if len(feats) > self._consumed_frames:
-            self._features = feats
+        self._asm.ingest(feats)
 
     def _drain(self, *, final: bool) -> None:
-        cfg = self.cfg
-        frame_len, overlap = cfg.frame_size, cfg.overlap
-        while True:
-            avail = len(self._features) - self._consumed_frames
-            if avail <= 0:
-                break
-            if avail < frame_len and not final:
-                break
-            take = min(frame_len, avail)
-            window = self._features[
-                self._consumed_frames: self._consumed_frames + take]
-            chunk = pad_audio_chunk(window, frame_len, cfg.input_dim)
-            decoded = decode_chunks_batched(
-                self.params, chunk[None], cfg)[0][:take]
-
-            if self._pending is None:
-                merged = decoded
-            else:
-                merged = blend_chunks(self._pending, decoded, overlap)
-
-            if final and take >= avail:
-                self._finalize(merged)
-                self._pending = None
-                self._consumed_frames += take
-                break
-            # hold back the tail that the next chunk will cross-fade into
-            hold = min(overlap, len(merged))
-            self._finalize(merged[: len(merged) - hold])
-            self._pending = merged[len(merged) - hold:]
-            self._consumed_frames += take - hold
-
-    def _finalize(self, frames: np.ndarray) -> None:
-        if len(frames) == 0:
+        plans = self._asm.plan(final=final)
+        if not plans:
             return
-        out = np.array(frames, np.float64)
-        out[:, :61] /= BLENDSHAPE_SCALE  # LiveLink space (reference: audio_processing.py:102)
-        self._emitted.append(out)
+        decoded = decode_chunks_batched(
+            self.params, self._asm.windows(plans), self.cfg)
+        self._asm.apply(plans, decoded)
