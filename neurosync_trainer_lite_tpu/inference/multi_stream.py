@@ -1,0 +1,349 @@
+"""Multi-session live serving: K concurrent audio→blendshape streams, one
+device program per tick.
+
+Production serving means many simultaneous Player/API sessions per chip.
+Driving K independent `BlendshapeStreamer`s costs K separate frontend
+dispatches and K decode dispatches per push interval — K× the link
+round-trips, with the MXU running at batch 1, and (in the host streamer's
+design) the WHOLE audio buffer re-uploaded on every push. None of that is
+how a TPU wants to serve.
+
+TPU-first design — three ideas:
+
+1. **Device-resident audio rings.** Each session owns a row of a
+   `[K, S_cap]` waveform buffer that lives in HBM across ticks (the array is
+   donated through the tick program). A push uploads ONLY the new samples;
+   the ring is shifted (trim), appended, and re-extracted entirely on
+   device. Upload per tick drops from O(buffer) to O(new audio).
+2. **One fused tick program.** shift → append → masked frontend
+   (`ops/frontend.py:extract_features_valid`, vmapped over sessions with
+   per-session traced lengths) → per-session feature-window slice, all in a
+   single jit. K sessions cost one dispatch and one bounded download
+   (`[K, f_win, 256]` feature rows from each session's consumption point)
+   instead of K full-feature downloads.
+3. **Cross-session batched decode.** Ready 128-frame windows from ALL
+   sessions stack into one `decode_chunks_batched` call (power-of-two row
+   buckets) — the 228M model runs at batch K, where the MXU is efficient.
+
+Frame semantics are exactly `BlendshapeStreamer`'s (same `FrameAssembler`,
+same overlap-blend math, same CMVN-drift contract — inference/streaming.py);
+equality with independent single-session streamers is pinned in
+tests/test_multi_stream.py.
+
+Compile-cache shape: the tick program keys on the active-session bucket
+(1, 2, 4, … ≤ max_sessions) only — S_cap, the push capacity, and f_win are
+fixed at construction. `warmup()` walks the K buckets and decode buckets so
+a live deployment never compiles mid-session.
+
+Bounded per-tick work: at most `push_capacity` new samples per session are
+taken per tick (the rest spill to the next tick), at most `f_win` feature
+rows are downloaded per session, and trimming keeps each ring inside
+`S_cap`. A session whose consumer lags simply catches up over several
+ticks; a stalled intake backpressures `push_audio` into the host-side
+pending queue.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neurosync_trainer_lite_tpu.config import Config
+from neurosync_trainer_lite_tpu.inference.chunked import decode_chunks_batched
+from neurosync_trainer_lite_tpu.inference.streaming import FrameAssembler
+from neurosync_trainer_lite_tpu.ops import frontend_np as F
+from neurosync_trainer_lite_tpu.ops.frontend import extract_features_valid
+
+
+def _pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "f_win"),
+                   donate_argnums=(0,))
+def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
+                  sr: int, f_win: int):
+    """One serving tick over the gathered session rows.
+
+    buf: [K_cap, S] device rings (donated); idx: [K] row ids;
+    new: [K, P] new samples (zero beyond new_len); shift/buf_len/new_len/
+    feat_start: [K] i32. Returns (updated buf, [K, f_win, n_features]
+    feature windows starting at feat_start).
+    """
+    S = buf.shape[1]
+
+    def one(b, nw, sh, bl, nl, fs):
+        # trim: drop sh samples from the front, clear the rolled-in garbage
+        b = jnp.roll(b, -sh)
+        bl = bl - sh
+        pos = jnp.arange(S)
+        b = jnp.where(pos < bl, b, 0.0)
+        # append: place the new chunk at bl via roll (clamp-free — a
+        # dynamic_update_slice would clip its start near the ring end and
+        # overwrite valid audio); everything beyond nl in nw is zero, and
+        # the host guarantees bl + nl <= S_avail, so any wrapped tail is
+        # zeros landing on zeros
+        nw_full = jnp.roll(jnp.concatenate([nw, jnp.zeros(S - nw.shape[0],
+                                                          nw.dtype)]), bl)
+        b = b + nw_full
+        total = bl + nl
+        feats = extract_features_valid(b, total, sr)      # [T60_cap, 256]
+        win = jax.lax.dynamic_slice(feats, (fs, 0), (f_win, feats.shape[1]))
+        return b, win
+
+    # padding rows carry idx == K_cap (out of range): the gather clamps to
+    # the last row (harmless read) and the scatter DROPS the write — they
+    # must never race a real session's row
+    rows, wins = jax.vmap(one)(buf[jnp.clip(idx, 0, buf.shape[0] - 1)],
+                               new, shift, buf_len, new_len, feat_start)
+    return buf.at[idx].set(rows, mode="drop"), wins
+
+
+@dataclass
+class _Session:
+    row: int                      # ring row in the device buffer
+    asm: FrameAssembler
+    buf_len: int = 0              # valid samples in the ring
+    pending: list = field(default_factory=list)  # host-queued new audio
+    is_open: bool = True
+
+
+class MultiStreamer:
+    """K concurrent `BlendshapeStreamer`-equivalent sessions on one chip.
+
+    Usage::
+
+        ms = MultiStreamer(params, cfg, max_sessions=8)
+        ms.warmup()
+        a = ms.open(); b = ms.open()
+        ms.push_audio(a, samples_a); ms.push_audio(b, samples_b)
+        ms.tick()                      # one device program for everyone
+        frames_a = ms.pop_frames(a)
+        ms.flush(b); tail_b = ms.pop_frames(b); ms.close(b)
+    """
+
+    def __init__(self, params, cfg: Config, *, max_sessions: int = 8,
+                 f_win: int = 256, trim_threshold: int = 256,
+                 trim_margin: int = 64, max_buffer_seconds: float | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.max_sessions = max_sessions
+        self.trim_threshold = trim_threshold
+        self.trim_margin = trim_margin
+
+        self._frame_samples = int(0.01667 * cfg.sr)
+        if self._frame_samples % 2:
+            raise ValueError("MultiStreamer needs an even frame length "
+                             "(sr=88200 default); use BlendshapeStreamer")
+        if max_buffer_seconds is None:
+            bound = (trim_threshold + trim_margin + 2 * cfg.frame_size
+                     ) * self._frame_samples
+        else:
+            bound = int(max_buffer_seconds * cfg.sr)
+        tail_room = self._frame_samples // 2 + 1  # autocorr reflected tail
+        self._s_cap = _pow2(bound + tail_room)
+        self._s_avail = self._s_cap - tail_room
+        #: per-tick new-sample capacity per session (≈1.5 s at 88.2 kHz)
+        self.push_capacity = min(1 << 17, self._s_cap // 2)
+
+        t120_cap = (self._s_cap + 2 * (self._frame_samples // 2)
+                    ) // (self._frame_samples // 2) - 1
+        self._t60_cap = t120_cap // 2 + t120_cap % 2
+        self.f_win = min(f_win, self._t60_cap)
+
+        kcap = _pow2(max_sessions)
+        self._buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
+        self._free_rows = list(range(kcap - 1, -1, -1))
+        self._sessions: dict[int, _Session] = {}
+        self._next_id = 0
+
+    # -- session lifecycle ---------------------------------------------------
+
+    def open(self) -> int:
+        """Allocate a session; returns its id."""
+        if not self._free_rows:
+            raise RuntimeError(f"all {len(self._buf)} session rows busy")
+        sid = self._next_id
+        self._next_id += 1
+        self._sessions[sid] = _Session(row=self._free_rows.pop(),
+                                       asm=FrameAssembler(self.cfg))
+        return sid
+
+    def close(self, sid: int) -> None:
+        """Release the session's ring row (call `flush` first to finalize)."""
+        st = self._sessions.pop(sid)
+        self._free_rows.append(st.row)
+
+    @property
+    def n_active(self) -> int:
+        return len(self._sessions)
+
+    # -- feeding / reading ---------------------------------------------------
+
+    def push_audio(self, sid: int, samples: np.ndarray) -> None:
+        """Queue raw mono samples at cfg.sr (uploaded at the next tick)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if samples.size:
+            self._sessions[sid].pending.append(samples)
+
+    def frames_ready(self, sid: int) -> int:
+        return self._sessions[sid].asm.frames_ready
+
+    def pop_frames(self, sid: int) -> np.ndarray:
+        """Finalized frames since the last pop: [n, output_dim]."""
+        return self._sessions[sid].asm.pop_frames()
+
+    # -- the tick ------------------------------------------------------------
+
+    def _t60_valid(self, n_samples: int) -> int:
+        """60 fps feature rows a ring of n_samples yields (0 below the
+        frontend minimum — reference: extract_features.py:14-20)."""
+        fl = self._frame_samples
+        if n_samples < fl or (n_samples - fl) // (fl // 2) + 1 < F.MIN_FRAMES:
+            return 0
+        t120 = (n_samples + 2 * (fl // 2)) // (fl // 2) - 1
+        return t120 // 2 + t120 % 2
+
+    def _needs_tick(self, st: _Session, final: bool) -> bool:
+        if st.pending:
+            return True
+        avail = self._t60_valid(st.buf_len) - st.asm.consumed
+        return avail >= (1 if final else self.cfg.frame_size)
+
+    def tick(self, *, final_ids=()) -> dict[int, int]:
+        """Run one serving tick; returns {sid: newly finalized frames}.
+
+        Sessions in final_ids drain to the very end (flush semantics) —
+        `flush()` wraps this with the catch-up loop.
+        """
+        final_ids = set(final_ids)
+        work = [(sid, st) for sid, st in self._sessions.items()
+                if self._needs_tick(st, sid in final_ids)]
+        if not work:
+            return {}
+
+        k = _pow2(len(work))
+        P = self.push_capacity
+        new = np.zeros((k, P), np.float32)
+        # padding rows (i >= len(work)) target row K_cap — out of range, so
+        # the tick program's scatter drops their (all-zero) writes
+        idx = np.full(k, len(self._buf), np.int32)
+        shift = np.zeros(k, np.int32)
+        buf_len = np.zeros(k, np.int32)
+        new_len = np.zeros(k, np.int32)
+        feat_start = np.zeros(k, np.int32)
+        offsets, takes = [], []
+
+        for i, (sid, st) in enumerate(work):
+            # trim first (frees intake room; renumbers the assembler)
+            excess = st.asm.consumed - self.trim_margin
+            sh = 0
+            if excess >= self.trim_threshold:
+                sh = excess * self._frame_samples
+                st.asm.shift(excess)
+            # intake: what fits this tick; the rest stays queued
+            room = self._s_avail - (st.buf_len - sh)
+            take = 0
+            if st.pending:
+                queued = np.concatenate(st.pending)
+                take = min(len(queued), P, max(0, room))
+                if take:
+                    new[i, :take] = queued[:take]
+                st.pending = [queued[take:]] if take < len(queued) else []
+            fs_req = max(0, st.asm.consumed)
+            fs_eff = min(fs_req, self._t60_cap - self.f_win)
+            idx[i] = st.row
+            shift[i] = sh
+            buf_len[i] = st.buf_len
+            new_len[i] = take
+            feat_start[i] = fs_eff
+            offsets.append(fs_req - fs_eff)
+            takes.append(take)
+
+        self._buf, wins = _tick_program(
+            self._buf, jnp.asarray(idx), jnp.asarray(new),
+            jnp.asarray(shift), jnp.asarray(buf_len), jnp.asarray(new_len),
+            jnp.asarray(feat_start), sr=self.cfg.sr, f_win=self.f_win)
+        wins = np.asarray(wins)
+
+        # ingest + plan per session, then ONE cross-session batched decode
+        all_windows, plan_of = [], []
+        before = {sid: st.asm.frames_ready for sid, st in work}
+        for i, (sid, st) in enumerate(work):
+            st.buf_len = int(buf_len[i]) - int(shift[i]) + takes[i]
+            t60 = self._t60_valid(st.buf_len)
+            fs_req = int(feat_start[i]) + offsets[i]
+            rows = min(self.f_win - offsets[i], t60 - fs_req)
+            if rows > 0:
+                st.asm.ingest(wins[i][offsets[i]: offsets[i] + rows],
+                              base=fs_req)
+            plans = st.asm.plan(final=(sid in final_ids
+                                       and not st.pending
+                                       and t60 - fs_req <= rows))
+            if plans:
+                all_windows.append(st.asm.windows(plans))
+                plan_of.append((st, plans))
+
+        if all_windows:
+            decoded = decode_chunks_batched(
+                self.params, np.concatenate(all_windows), self.cfg)
+            at = 0
+            for (st, plans), w in zip(plan_of, all_windows):
+                st.asm.apply(plans, decoded[at: at + len(w)])
+                at += len(w)
+        return {sid: st.asm.frames_ready - before[sid] for sid, st in work}
+
+    def flush(self, sid: int, *, max_ticks: int = 1000) -> int:
+        """Finalize everything the session buffered; returns frames added."""
+        st = self._sessions[sid]
+        before = st.asm.frames_ready
+        for _ in range(max_ticks):
+            self.tick(final_ids=(sid,))
+            if (not st.pending
+                    and self._t60_valid(st.buf_len) <= st.asm.consumed):
+                break
+        else:
+            raise RuntimeError("flush did not converge")
+        return st.asm.frames_ready - before
+
+    # -- warmup --------------------------------------------------------------
+
+    def warmup(self) -> int:
+        """Pre-compile every program a deployment can touch: the tick
+        program at each active-session bucket and the decode program at each
+        window bucket. Returns the number of programs compiled."""
+        rng = np.random.default_rng(0)
+        kcap = len(self._buf)
+        n = 0
+        k = 1
+        while k <= kcap:
+            buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
+            _tick_program(
+                buf, jnp.arange(k, dtype=jnp.int32),
+                jnp.asarray(rng.standard_normal(
+                    (k, self.push_capacity)).astype(np.float32) * 0.1),
+                jnp.zeros(k, jnp.int32),
+                jnp.zeros(k, jnp.int32),
+                jnp.full(k, self.push_capacity, jnp.int32),
+                jnp.zeros(k, jnp.int32),
+                sr=self.cfg.sr, f_win=self.f_win)
+            n += 1
+            k *= 2
+        cfg = self.cfg
+        m = 1
+        while m <= kcap * 2:  # catch-up ticks can carry 2 windows/session
+            decode_chunks_batched(
+                self.params,
+                rng.standard_normal(
+                    (m, cfg.frame_size, cfg.input_dim)).astype(np.float32),
+                cfg)
+            n += 1
+            m *= 2
+        return n

@@ -1,0 +1,165 @@
+"""Multi-session serving: K batched live streams == K independent streamers."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from neurosync_trainer_lite_tpu.config import tiny_config
+from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
+from neurosync_trainer_lite_tpu.inference.streaming import BlendshapeStreamer
+from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+
+TRIM_THRESHOLD, TRIM_MARGIN = 64, 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(hidden_dim=32, n_layers=1, num_heads=2)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _single(params, cfg):
+    s = BlendshapeStreamer(params, cfg)
+    s.TRIM_THRESHOLD_FRAMES = TRIM_THRESHOLD
+    s.TRIM_MARGIN_FRAMES = TRIM_MARGIN
+    return s
+
+
+def _multi(params, cfg, **kw):
+    kw.setdefault("trim_threshold", TRIM_THRESHOLD)
+    kw.setdefault("trim_margin", TRIM_MARGIN)
+    kw.setdefault("max_buffer_seconds", 4.0)
+    return MultiStreamer(params, cfg, **kw)
+
+
+def test_multi_matches_independent_single_streamers(setup):
+    """K batched sessions must produce what K independent BlendshapeStreamers
+    produce from the same pushes at the same cadence (identical buffer
+    contents at every extraction → near-identical features/frames; tolerance
+    covers the different pad-bucket reduction orders)."""
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    seconds = [5.0, 6.0, 4.2]
+    audios = [(rng.standard_normal(int(cfg.sr * s)) * 0.4).astype(np.float32)
+              for s in seconds]
+
+    ms = _multi(params, cfg, max_sessions=4)
+    sids = [ms.open() for _ in audios]
+    singles = [_single(params, cfg) for _ in audios]
+
+    step = cfg.sr // 3
+    n_rounds = max(len(a) for a in audios) // step + 1
+    for r in range(n_rounds):
+        for sid, single, audio in zip(sids, singles, audios):
+            chunk = audio[r * step: (r + 1) * step]
+            if chunk.size:
+                ms.push_audio(sid, chunk)
+                single.push_audio(chunk)
+        ms.tick()
+    for sid, single in zip(sids, singles):
+        ms.flush(sid)
+        single.flush()
+
+    for sid, single in zip(sids, singles):
+        got = ms.pop_frames(sid)
+        want = single.pop_frames()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_session_rows_are_isolated_and_reused(setup):
+    """Closing a session frees its ring row; a new session reusing the row
+    must see none of the old audio."""
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    ms = _multi(params, cfg, max_sessions=2)
+
+    a = ms.open()
+    b = ms.open()
+    with pytest.raises(RuntimeError):
+        ms.open()
+    audio_a = (rng.standard_normal(cfg.sr * 3) * 0.4).astype(np.float32)
+    audio_b = (rng.standard_normal(cfg.sr * 3) * 0.4).astype(np.float32)
+    ms.push_audio(a, audio_a)
+    ms.push_audio(b, audio_b)
+    ms.tick()
+    ms.flush(a)
+    frames_a = ms.pop_frames(a)
+    row_a = ms._sessions[a].row
+    ms.close(a)
+
+    c = ms.open()                       # reuses a's ring row
+    assert ms._sessions[c].row == row_a
+    ms.push_audio(c, audio_a)
+    ms.tick()
+    ms.flush(c)
+    frames_c = ms.pop_frames(c)
+    np.testing.assert_allclose(frames_c, frames_a, atol=2e-4, rtol=2e-3)
+
+    # b was untouched throughout
+    ms.flush(b)
+    single_b = _single(params, cfg)
+    single_b.push_audio(audio_b)
+    single_b.flush()
+    np.testing.assert_allclose(ms.pop_frames(b), single_b.pop_frames(),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_oversized_push_backpressures_and_catches_up(setup):
+    """A push far beyond the per-tick intake capacity spills to the host
+    queue and drains over ticks; the final output equals a single streamer
+    fed the same audio in capacity-sized pushes (identical buffer windows)."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(cfg.sr * 12) * 0.4).astype(np.float32)
+
+    ms = _multi(params, cfg, max_sessions=2)
+    sid = ms.open()
+    ms.push_audio(sid, audio)           # ~12 s at once; capacity ≈ 1.5 s
+    assert len(audio) > ms.push_capacity
+
+    single = _single(params, cfg)
+    fed = 0
+    for _ in range(200):
+        counts = ms.tick()
+        # mirror the multi-streamer's actual intake into the single streamer
+        pending = ms._sessions[sid].pending
+        taken = len(audio) - (len(pending[0]) if pending else 0)
+        assert taken - fed <= ms.push_capacity  # per-tick intake is bounded
+        single.push_audio(audio[fed:taken])
+        fed = taken
+        if not counts and fed >= len(audio):
+            break
+    ms.flush(sid)
+    single.flush()
+
+    got = ms.pop_frames(sid)
+    want = single.pop_frames()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_tick_program_cache_bounded_and_warmup_covers_it(setup):
+    """The tick program compiles per active-session bucket only; warmup()
+    pre-walks every bucket so live ticks never compile."""
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
+
+    cfg, params = setup
+    ms = _multi(params, cfg, max_sessions=4)
+    ms.warmup()
+    after_warm = M._tick_program._cache_size()
+
+    rng = np.random.default_rng(4)
+    sids = [ms.open() for _ in range(3)]
+    for r in range(6):
+        for i, sid in enumerate(sids):
+            n = cfg.sr // 3 + 997 * (r + i)   # uneven push sizes
+            ms.push_audio(
+                sid, (rng.standard_normal(n) * 0.4).astype(np.float32))
+        ms.tick()
+    for sid in sids:
+        ms.flush(sid)
+        assert ms.pop_frames(sid).shape[1] == cfg.output_dim
+    assert M._tick_program._cache_size() == after_warm
