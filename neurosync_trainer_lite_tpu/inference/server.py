@@ -12,9 +12,21 @@ so the framework is servable out of the box:
         → {"blendshapes": [[...61 floats...], ...]}   (60 fps frames)
     GET  /healthz                → {"ok": true}
 
+Live sessions (MultiStreamer-backed — K concurrent streams batched into one
+device program per tick, inference/multi_stream.py):
+
+    POST /session/open           → {"session": id}
+    POST /session/<id>/audio     body: raw mono PCM at cfg.sr — float32 LE
+        by default, 16-bit LE with header `X-Audio-Format: s16`
+        → {"blendshapes": [...], "n": k}   (frames finalized by this push)
+    POST /session/<id>/flush     → remaining frames (finalizes the stream)
+    POST /session/<id>/close     → {"ok": true}   (frees the session slot)
+
 One jitted decode graph is compiled at startup; requests run sequentially
 (the model call is device-bound — parallel HTTP handlers would only queue on
-the chip anyway).
+the chip anyway). Every /audio request runs one serving tick, which also
+advances OTHER sessions' pending audio — their frames are returned on their
+own next request.
 """
 
 from __future__ import annotations
@@ -31,9 +43,21 @@ from neurosync_trainer_lite_tpu.config import Config
 MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
-def make_handler(params, cfg: Config):
+def make_handler(params, cfg: Config, *, max_sessions: int = 8):
+    import numpy as np
+
     from neurosync_trainer_lite_tpu.inference.api import (
         generate_facial_data_from_bytes)
+
+    state = {"ms": None}
+
+    def get_streamer():
+        if state["ms"] is None:  # lazy: batch-only servers never pay for it
+            from neurosync_trainer_lite_tpu.inference.multi_stream import (
+                MultiStreamer)
+            state["ms"] = MultiStreamer(params, cfg,
+                                        max_sessions=max_sessions)
+        return state["ms"]
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -50,31 +74,86 @@ def make_handler(params, cfg: Config):
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _read_body(self) -> bytes | None:
+            length = int(self.headers.get("Content-Length", "0"))
+            if length < 0 or length > MAX_BODY_BYTES:
+                # negative would make rfile.read() block to EOF and wedge
+                # the single-threaded server
+                self._send(413, {"error": f"invalid body size ({length} "
+                                 f"bytes; cap {MAX_BODY_BYTES})"})
+                return None
+            return self.rfile.read(length)
+
         def do_POST(self):
-            if self.path != "/audio_to_blendshapes":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                if length < 0 or length > MAX_BODY_BYTES:
-                    # negative would make rfile.read() block to EOF and wedge
-                    # the single-threaded server
-                    self._send(413, {"error": f"invalid body size ({length} "
-                                     f"bytes; cap {MAX_BODY_BYTES})"})
-                    return
-                audio_bytes = self.rfile.read(length)
-                frames = generate_facial_data_from_bytes(
-                    audio_bytes, params, cfg)
-                if isinstance(frames, tuple):
-                    # too-short clip: the API keeps the reference's empty
-                    # ([], array([])) signature — serve an empty frame list
-                    frames = []
+                if self.path == "/audio_to_blendshapes":
+                    self._post_batch()
+                elif self.path.startswith("/session"):
+                    self._post_session()
                 else:
-                    frames = frames.tolist()
-                self._send(200, {"blendshapes": frames,
-                                 "fps": cfg.frame_rate})
+                    self._send(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _post_batch(self):
+            audio_bytes = self._read_body()
+            if audio_bytes is None:
+                return
+            frames = generate_facial_data_from_bytes(audio_bytes, params, cfg)
+            if isinstance(frames, tuple):
+                # too-short clip: the API keeps the reference's empty
+                # ([], array([])) signature — serve an empty frame list
+                frames = []
+            else:
+                frames = frames.tolist()
+            self._send(200, {"blendshapes": frames, "fps": cfg.frame_rate})
+
+        def _post_session(self):
+            parts = self.path.strip("/").split("/")
+            ms = get_streamer()
+            if parts == ["session", "open"]:
+                if self._read_body() is None:
+                    return
+                try:
+                    self._send(200, {"session": ms.open()})
+                except RuntimeError as e:  # all slots busy
+                    self._send(503, {"error": str(e)})
+                return
+            if len(parts) != 3 or not parts[1].isdigit():
+                self._send(404, {"error": "unknown path"})
+                return
+            sid, verb = int(parts[1]), parts[2]
+            if sid not in ms._sessions:
+                self._send(404, {"error": f"no session {sid}"})
+                return
+            if verb == "audio":
+                body = self._read_body()
+                if body is None:
+                    return
+                if self.headers.get("X-Audio-Format", "f32") == "s16":
+                    samples = np.frombuffer(body, "<i2").astype(
+                        np.float32) / 32768.0
+                else:
+                    samples = np.frombuffer(body, "<f4")
+                ms.push_audio(sid, samples)
+                ms.tick()
+                frames = ms.pop_frames(sid)
+                self._send(200, {"blendshapes": frames.tolist(),
+                                 "n": len(frames), "fps": cfg.frame_rate})
+            elif verb == "flush":
+                if self._read_body() is None:
+                    return
+                ms.flush(sid)
+                frames = ms.pop_frames(sid)
+                self._send(200, {"blendshapes": frames.tolist(),
+                                 "n": len(frames), "fps": cfg.frame_rate})
+            elif verb == "close":
+                if self._read_body() is None:
+                    return
+                ms.close(sid)
+                self._send(200, {"ok": True})
+            else:
+                self._send(404, {"error": "unknown path"})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -83,8 +162,9 @@ def make_handler(params, cfg: Config):
 
 
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
-          *, server_class=HTTPServer):
-    httpd = server_class((host, port), make_handler(params, cfg))
+          *, server_class=HTTPServer, max_sessions: int = 8):
+    httpd = server_class((host, port),
+                         make_handler(params, cfg, max_sessions=max_sessions))
     return httpd
 
 

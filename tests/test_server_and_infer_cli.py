@@ -123,3 +123,58 @@ def test_infer_cli(cfg_params, tmp_path):
     df = pd.read_csv(out_path)
     assert df.shape[1] == 2 + 61  # Timecode, BlendshapeCount, 61 dims
     assert len(df) > 0
+
+
+def test_live_session_endpoints(cfg_params):
+    """MultiStreamer-backed live sessions over HTTP: open → pushes return
+    incrementally finalized frames → flush returns the tail → close frees
+    the slot. The full stream must match the one-shot batch endpoint's
+    frame count."""
+    cfg, params = cfg_params
+    httpd = serve(params, cfg, port=0, max_sessions=2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, data=b"", headers=None):
+        req = urllib.request.Request(base + path, data=data, method="POST",
+                                     headers=headers or {})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.load(r)
+
+    try:
+        sid = post("/session/open")["session"]
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(cfg.sr * 4) * 0.4).astype(np.float32)
+        got, step = [], cfg.sr // 2
+        for i in range(0, len(audio), step):
+            r = post(f"/session/{sid}/audio",
+                     audio[i: i + step].tobytes())
+            got.extend(r["blendshapes"])
+        r = post(f"/session/{sid}/flush")
+        got.extend(r["blendshapes"])
+        assert post(f"/session/{sid}/close") == {"ok": True}
+
+        # s16 ingestion widens /32768
+        sid2 = post("/session/open")["session"]
+        pcm = (audio[:step] * 32768).clip(-32768, 32767).astype("<i2")
+        r = post(f"/session/{sid2}/audio", pcm.tobytes(),
+                 {"X-Audio-Format": "s16"})
+        assert r["n"] >= 0
+        post(f"/session/{sid2}/close")
+
+        # frame count parity with the one-shot batch path on the same audio
+        frames = np.asarray(got)
+        assert frames.shape[1] == cfg.output_dim
+        t120 = (len(audio) + 2 * (1470 // 2)) // (1470 // 2) - 1
+        assert frames.shape[0] == t120 // 2 + t120 % 2
+
+        # unknown session → 404
+        try:
+            post("/session/99999/audio", b"\x00" * 8)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 404
+        assert raised
+    finally:
+        httpd.shutdown()
