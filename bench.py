@@ -124,7 +124,7 @@ def main():
     # large-HBM chip (v5p) the model benches without remat.
     from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
 
-    cfg = _maybe_auto_remat(full_config(), 1, verbose=False)
+    cfg = _maybe_auto_remat(full_config(), 1, verbose=False)  # picks K=6
     samples_per_sec = _measure_train(cfg)
     print(json.dumps({
         "metric": "228M_train_samples_per_sec_per_chip_dropout0.3",
@@ -133,7 +133,9 @@ def main():
         "vs_baseline": round(samples_per_sec / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
     }))
     # diagnostic secondary (stderr, not the headline): dropout-free math
-    d0 = _measure_train(cfg.replace(dropout=0.0))
+    # (re-planned: the measured-fastest residency differs at dropout 0)
+    d0 = _measure_train(_maybe_auto_remat(full_config(dropout=0.0), 1,
+                                          verbose=False))
     print(json.dumps({
         "metric": "228M_train_samples_per_sec_per_chip_dropout0",
         "value": round(d0, 2), "unit": "samples/s",

@@ -175,8 +175,86 @@ def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+@jax.custom_vjp
+def _ffn_lean_core(x, w1, b1, w2, b2, keep, scale):
+    """linear→relu→dropout→linear with lean backward residuals for bf16.
+
+    Forward is bit-identical to the plain composition below (same fp32 MXU
+    accumulation, same bias-add-then-cast). The custom vjp saves only
+    (x, masked activation, keep mask) — autodiff additionally keeps the
+    pre-relu [B, T, 4H] tensor at every FFN site (~134 MB/layer bf16 at the
+    flagship geometry). The relu gradient is derived from the masked
+    activation: where kept, am > 0 ⟺ h1 > 0 (scale > 0); where dropped the
+    cotangent is zero anyway. Measured: 478 → 490 samples/s at dropout 0.3,
+    534 → 538 dropout-free, and the freed residents moved the decoder-remat
+    sweet spot from 1 to 2 resident layers at dropout 0.3 (docs/PERF.md).
+    Gradient agreement with autodiff is pinned in
+    tests/test_model.py::test_ffn_lean_grads_match_autodiff.
+    """
+    h1 = (jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+          + b1.astype(jnp.float32)).astype(x.dtype)
+    am = jnp.where(keep, jax.nn.relu(h1) * scale.astype(x.dtype), 0
+                   ).astype(x.dtype)
+    return (jnp.dot(am, w2.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+            + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def _ffn_lean_fwd(x, w1, b1, w2, b2, keep, scale):
+    h1 = (jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+          + b1.astype(jnp.float32)).astype(x.dtype)
+    am = jnp.where(keep, jax.nn.relu(h1) * scale.astype(x.dtype), 0
+                   ).astype(x.dtype)
+    y = (jnp.dot(am, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32)).astype(x.dtype)
+    return y, (x, am, keep, scale, w1, w2)
+
+
+def _ffn_lean_bwd(res, dy):
+    x, am, keep, scale, w1, w2 = res
+    red = tuple(range(dy.ndim - 1))
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=red)
+    dw2 = jnp.einsum("...f,...o->fo", am, dy,
+                     preferred_element_type=jnp.float32)
+    dam = jnp.dot(dy, w2.astype(dy.dtype).T,
+                  preferred_element_type=jnp.float32).astype(dy.dtype)
+    dh1 = jnp.where(keep & (am > 0), dam * scale.astype(dam.dtype), 0
+                    ).astype(dy.dtype)
+    db1 = jnp.sum(dh1.astype(jnp.float32), axis=red)
+    dw1 = jnp.einsum("...f,...o->fo", x, dh1,
+                     preferred_element_type=jnp.float32)
+    dx = jnp.dot(dh1, w1.astype(dh1.dtype).T,
+                 preferred_element_type=jnp.float32).astype(dy.dtype)
+    return dx, dw1, db1, dw2, db2, None, None
+
+
+_ffn_lean_core.defvjp(_ffn_lean_fwd, _ffn_lean_bwd)
+
+
 def _ffn(p: dict, x: jnp.ndarray, *, rate: float, rng, train: bool) -> jnp.ndarray:
-    """ReLU FFN with dropout after the activation (reference: model.py:146-158)."""
+    """ReLU FFN with dropout after the activation (reference: model.py:146-158).
+
+    bf16 compute routes through the lean-residual custom vjp (bit-identical
+    forward; see _ffn_lean_core). The mask bits are drawn exactly as
+    ops/attention.dropout draws them — same rng, same shape, same uint8
+    threshold — so switching paths never changes the dropout sequence. fp32
+    keeps plain autodiff for the oracle/parity tests.
+    """
+    if x.dtype == jnp.bfloat16:
+        w1 = p["linear1"]["w"]
+        q = int(round(rate * 256)) if (train and rng is not None) else 0
+        if q < 256:  # rate ≈ 1.0 drops everything — fall through to plain
+            if q <= 0:
+                keep = jnp.ones(x.shape[:-1] + (w1.shape[-1],), bool)
+                scale = jnp.float32(1.0)
+            else:
+                bits = jax.random.bits(rng, x.shape[:-1] + (w1.shape[-1],),
+                                       jnp.uint8)
+                keep = bits >= q
+                scale = jnp.float32(256.0 / (256 - q))
+            return _ffn_lean_core(x, w1, p["linear1"]["b"],
+                                  p["linear2"]["w"], p["linear2"]["b"],
+                                  keep, scale)
     h = _linear(x, p["linear1"])
     h = jax.nn.relu(h)
     h = dropout(h, rate, rng, train)

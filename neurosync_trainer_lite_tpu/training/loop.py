@@ -226,12 +226,14 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
 
     # decoder/encoder activation split ≈ 35/25 (2 attentions vs 1 per layer,
     # same FFN — the estimator's 60·L coefficient); a RESIDENT decoder layer
-    # costs ~2.2x its share of that estimate in practice (fp32 attention
-    # residuals, dropout mask bytes, allocator slack — calibrated against the
-    # measured fit boundary on the 16 GB v5e: 1 resident layer fits, 2 OOM)
+    # costs ~1.25x its share of that estimate in practice (dropout mask
+    # bytes, allocator slack — recalibrated after the lean-residual FFN vjp
+    # freed ~134 MB/layer: on the 16 GB v5e 3 resident layers now fit but
+    # run SLOWER than 2 — allocator pressure beats the saved recompute, so
+    # residency is capped at the measured-fastest count below)
     acts = _activation_bytes(cfg, n_data_shards)
     dec_acts = acts * 35 // 60
-    per_resident_layer = 2.2 * dec_acts / cfg.n_layers
+    per_resident_layer = 1.25 * dec_acts / cfg.n_layers
     spare = budget - (need - dec_acts)
     if spare < 0:
         # even a fully-rematted decoder won't fit (e.g. batch ≥256 on a
@@ -249,7 +251,13 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
                       f"~{need_all/1e9:.1f} GB; consider grad_accum_steps "
                       "or a smaller batch_size")
         return cfg.replace(remat=True, remat_scope="all", remat_layers=-1)
-    resident = int(max(0, min(cfg.n_layers - 1, spare // per_resident_layer)))
+    # measured-fastest residency at the flagship geometry (docs/PERF.md):
+    # 2 resident layers at dropout 0.3 (489.8 vs 486.0 samples/s), 1 at
+    # dropout 0 (538.5 vs 534.1) — more residents fit but lose to allocator
+    # pressure either way
+    cap = 2 if cfg.dropout > 0 else 1
+    resident = int(max(0, min(cfg.n_layers - 1, cap,
+                              spare // per_resident_layer)))
     remat_layers = (cfg.n_layers - resident) if resident > 0 else -1
     if verbose:
         print(f"auto-remat: estimated step needs ~{need/1e9:.1f} GB of "

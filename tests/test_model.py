@@ -238,3 +238,44 @@ def test_layer_norm_bf16_grads_match_autodiff():
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         denom = np.max(np.abs(b)) + 1e-9
         assert np.max(np.abs(a - b)) / denom < 1e-2
+
+
+def test_ffn_lean_grads_match_autodiff():
+    """The lean-residual FFN vjp (bf16 path) must match plain autodiff of
+    the same composition, with and without dropout, and its forward must be
+    bit-identical — including the exact dropout mask sequence (same rng,
+    same uint8 threshold draw as ops/attention.dropout)."""
+    from neurosync_trainer_lite_tpu.models.seq2seq import _ffn
+    from neurosync_trainer_lite_tpu.ops.attention import _linear, dropout
+
+    rng = np.random.default_rng(11)
+    p = {"linear1": {"w": jnp.asarray(rng.standard_normal((32, 128)) * 0.1,
+                                      jnp.float32),
+                     "b": jnp.asarray(rng.standard_normal(128), jnp.float32)},
+         "linear2": {"w": jnp.asarray(rng.standard_normal((128, 32)) * 0.1,
+                                      jnp.float32),
+                     "b": jnp.asarray(rng.standard_normal(32), jnp.float32)}}
+    x = jnp.asarray(rng.standard_normal((4, 8, 32)), jnp.bfloat16)
+    key = jax.random.PRNGKey(3)
+
+    def plain(p, x, rate):
+        h = _linear(x, p["linear1"])
+        h = jax.nn.relu(h)
+        h = dropout(h, rate, key, True)
+        return _linear(h, p["linear2"])
+
+    for rate in (0.0, 0.3):
+        y_lean = _ffn(p, x, rate=rate, rng=key, train=True)
+        y_plain = plain(p, x, rate)
+        np.testing.assert_array_equal(
+            np.asarray(y_lean, np.float32), np.asarray(y_plain, np.float32))
+
+        g_lean = jax.grad(lambda p, x: jnp.sum(
+            _ffn(p, x, rate=rate, rng=key, train=True
+                 ).astype(jnp.float32) ** 2), argnums=(0, 1))(p, x)
+        g_plain = jax.grad(lambda p, x: jnp.sum(
+            plain(p, x, rate).astype(jnp.float32) ** 2), argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(g_lean), jax.tree.leaves(g_plain)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-2, atol=2e-2)

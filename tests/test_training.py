@@ -196,7 +196,13 @@ def test_auto_remat_planner_decisions():
     with mock.patch.object(loop, "_device_hbm_limit", lambda: int(16e9)):
         cfg = loop._maybe_auto_remat(full_config(), 1, verbose=False)
         assert cfg.remat and cfg.remat_scope == "decoder"
-        assert cfg.remat_layers == 7  # one resident decoder layer
+        # dropout 0.3 default: two resident decoder layers (measured fastest
+        # with the lean-residual FFN vjp — docs/PERF.md)
+        assert cfg.remat_layers == 6
+        # dropout 0: one resident layer is the measured optimum
+        cfg = loop._maybe_auto_remat(full_config(dropout=0.0), 1,
+                                     verbose=False)
+        assert cfg.remat_layers == 7
     with mock.patch.object(loop, "_device_hbm_limit", lambda: int(95e9)):
         assert not loop._maybe_auto_remat(full_config(), 1, verbose=False).remat
     with mock.patch.object(loop, "_device_hbm_limit", lambda: int(16e9)):

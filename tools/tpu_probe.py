@@ -42,7 +42,7 @@ def main():
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
                             "attndrop-skip", "attndrop-bf16",
-                            "attn-fp32-chain", "ln-autodiff"),
+                            "attn-fp32-chain", "ln-autodiff", "ffn-autodiff"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
 
@@ -98,6 +98,20 @@ def main():
             return out.astype(v.dtype)
 
         am.sdpa = sdpa_fp32
+    elif args.patch == "ffn-autodiff":
+        # REVERSE ablation: plain-autodiff FFN (keeps the pre-relu [B,T,4H]
+        # residual at every site) over the shipped lean-residual custom vjp
+        import jax as _jax
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+        from neurosync_trainer_lite_tpu.ops.attention import _linear, dropout
+
+        def ffn_plain(p, x, *, rate, rng, train):
+            h = _linear(x, p["linear1"])
+            h = _jax.nn.relu(h)
+            h = dropout(h, rate, rng, train)
+            return _linear(h, p["linear2"])
+
+        s2s._ffn = ffn_plain
     elif args.patch == "ln-autodiff":
         # REVERSE ablation: plain-autodiff LayerNorm (fp32 [B,T,H] residuals)
         # over the shipped lean-residual custom vjp
