@@ -44,16 +44,23 @@ def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
     """
     global _device_pipeline_broken
     if pipeline == "device" and not _device_pipeline_broken:
-        try:
-            from neurosync_trainer_lite_tpu.inference.device_pipeline import (
-                generate_facial_data_from_bytes_device,
-            )
+        from neurosync_trainer_lite_tpu.inference import device_pipeline as dp
 
-            return generate_facial_data_from_bytes_device(
-                audio_bytes, params, cfg, use_smoothing=use_smoothing)
+        # Bytes are decoded OUTSIDE the breaker's try: a malformed request is
+        # an INPUT error that must surface to the caller (matching the host
+        # path), not permanently disable the device pipeline for the process.
+        y, normalized = dp.decode_bytes_to_waveform(audio_bytes, cfg)
+        try:
+            out = dp.infer_waveform_device(y, params, cfg,
+                                           normalized=normalized)
+            if out is None:
+                return [], np.array([])  # reference's too-short signature
+            if use_smoothing:
+                out = smooth_by_averaging_pairs(out)
+            return out
         except Exception as e:  # pragma: no cover - device fallback
-            # sticky: a deterministic device-path failure (OOM, tracing bug)
-            # would otherwise re-pay the failed attempt on EVERY request
+            # sticky: a deterministic DEVICE failure (OOM, tracing bug) would
+            # otherwise re-pay the failed attempt on EVERY request
             _device_pipeline_broken = True
             print("device pipeline failed — disabling it for this process "
                   f"and serving via the host path: {e!r}")

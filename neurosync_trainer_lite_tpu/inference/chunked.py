@@ -91,17 +91,12 @@ def _decode_fn(cfg: Config):
     return decode
 
 
-def _bucket(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
-
-
 def decode_chunks_batched(params, chunks: np.ndarray, cfg: Config) -> np.ndarray:
     """[N, frame_size, input_dim] → [N, frame_size, output_dim] in one device call."""
+    from neurosync_trainer_lite_tpu.ops.frontend import pow2_bucket
+
     n = chunks.shape[0]
-    bucket = _bucket(n)
+    bucket = pow2_bucket(n)
     if bucket != n:
         chunks = np.concatenate(
             [chunks, np.zeros((bucket - n, *chunks.shape[1:]), chunks.dtype)])

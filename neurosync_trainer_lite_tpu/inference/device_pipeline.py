@@ -58,23 +58,9 @@ from neurosync_trainer_lite_tpu.ops import frontend_np as F
 from neurosync_trainer_lite_tpu.ops.frontend import (
     MIN_SAMPLE_BUCKET,
     extract_features_valid,
+    num_frames_60,
+    pow2_bucket,
 )
-
-
-def _pow2_bucket(n: int, minimum: int) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
-
-
-def _num_frames_120(n_samples: int, frame_length: int) -> int:
-    """120 fps frame count of the padded framing in ops/frontend.py."""
-    hop = frame_length // 2
-    padded = n_samples + 2 * (frame_length // 2)
-    if frame_length % 2 == 0:
-        return padded // hop - 1
-    return 1 + (padded - frame_length) // hop
 
 
 def _gather_rows(num_frames: int, frame_length: int, overlap: int):
@@ -132,7 +118,7 @@ def infer_waveform_device(y: np.ndarray, params, cfg: Config,
     n = y.shape[0]
     # + tail margin so the autocorrelation's reflected pad fits in the
     # zero region (ops/frontend.py:_autocorr_187_valid)
-    s_bucket = _pow2_bucket(n + frame_length // 2 + 1, MIN_SAMPLE_BUCKET)
+    s_bucket = pow2_bucket(n + frame_length // 2 + 1, MIN_SAMPLE_BUCKET)
 
     if y.dtype == np.int16:
         y_pad = np.zeros(s_bucket, np.int16)
@@ -148,12 +134,11 @@ def infer_waveform_device(y: np.ndarray, params, cfg: Config,
         y_pad[:n] = yf
         normalize = False
 
-    t120 = _num_frames_120(n, frame_length)
-    num_frames = t120 // 2 + (t120 % 2)
+    num_frames = num_frames_60(n, frame_length)
     rows, lengths, remaining = _gather_rows(num_frames, cfg.frame_size,
                                             cfg.overlap)
     n_true = rows.shape[0]
-    n_bucket = _pow2_bucket(n_true, 1)
+    n_bucket = pow2_bucket(n_true)
     if n_bucket != n_true:
         # pad with copies of the first row; the decoded pad rows are discarded
         rows = np.concatenate(
@@ -182,6 +167,21 @@ def _sniff_wav_int16(audio_bytes: bytes, sr: int) -> np.ndarray | None:
     return None
 
 
+def decode_bytes_to_waveform(audio_bytes: bytes, cfg: Config):
+    """(waveform, normalized) for the device path: raw int16 when the bytes
+    are a 16-bit mono WAV already at cfg.sr (uploaded raw, half the bytes),
+    otherwise the host loader's peak-normalized fp32. Raises on undecodable
+    input — a host-side INPUT error, distinct from device failures (the
+    api.py breaker relies on that distinction)."""
+    from neurosync_trainer_lite_tpu.utils.audio_io import load_audio_from_bytes
+
+    i16 = _sniff_wav_int16(audio_bytes, cfg.sr)
+    if i16 is not None:
+        return i16, False
+    y, _ = load_audio_from_bytes(audio_bytes, cfg.sr)
+    return y, True
+
+
 def generate_facial_data_from_bytes_device(
         audio_bytes: bytes, params, cfg: Config,
         use_smoothing: bool = False) -> np.ndarray:
@@ -193,14 +193,9 @@ def generate_facial_data_from_bytes_device(
     tolerance (tested).
     """
     from neurosync_trainer_lite_tpu.inference.api import smooth_by_averaging_pairs
-    from neurosync_trainer_lite_tpu.utils.audio_io import load_audio_from_bytes
 
-    i16 = _sniff_wav_int16(audio_bytes, cfg.sr)
-    if i16 is not None:
-        out = infer_waveform_device(i16, params, cfg)
-    else:
-        y, _ = load_audio_from_bytes(audio_bytes, cfg.sr)
-        out = infer_waveform_device(y, params, cfg, normalized=True)
+    y, normalized = decode_bytes_to_waveform(audio_bytes, cfg)
+    out = infer_waveform_device(y, params, cfg, normalized=normalized)
     if out is None:
         return [], np.array([])  # same empty signature as the host API path
     if use_smoothing:

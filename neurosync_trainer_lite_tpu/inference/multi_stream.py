@@ -56,14 +56,11 @@ from neurosync_trainer_lite_tpu.config import Config
 from neurosync_trainer_lite_tpu.inference.chunked import decode_chunks_batched
 from neurosync_trainer_lite_tpu.inference.streaming import FrameAssembler
 from neurosync_trainer_lite_tpu.ops import frontend_np as F
-from neurosync_trainer_lite_tpu.ops.frontend import extract_features_valid
-
-
-def _pow2(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+from neurosync_trainer_lite_tpu.ops.frontend import (
+    extract_features_valid,
+    num_frames_60,
+    pow2_bucket,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "f_win"),
@@ -148,17 +145,15 @@ class MultiStreamer:
         else:
             bound = int(max_buffer_seconds * cfg.sr)
         tail_room = self._frame_samples // 2 + 1  # autocorr reflected tail
-        self._s_cap = _pow2(bound + tail_room)
+        self._s_cap = pow2_bucket(bound + tail_room)
         self._s_avail = self._s_cap - tail_room
         #: per-tick new-sample capacity per session (≈1.5 s at 88.2 kHz)
         self.push_capacity = min(1 << 17, self._s_cap // 2)
 
-        t120_cap = (self._s_cap + 2 * (self._frame_samples // 2)
-                    ) // (self._frame_samples // 2) - 1
-        self._t60_cap = t120_cap // 2 + t120_cap % 2
+        self._t60_cap = num_frames_60(self._s_cap, self._frame_samples)
         self.f_win = min(f_win, self._t60_cap)
 
-        kcap = _pow2(max_sessions)
+        kcap = pow2_bucket(max_sessions)
         self._buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
         self._free_rows = list(range(kcap - 1, -1, -1))
         self._sessions: dict[int, _Session] = {}
@@ -185,6 +180,9 @@ class MultiStreamer:
     def n_active(self) -> int:
         return len(self._sessions)
 
+    def has_session(self, sid: int) -> bool:
+        return sid in self._sessions
+
     # -- feeding / reading ---------------------------------------------------
 
     def push_audio(self, sid: int, samples: np.ndarray) -> None:
@@ -208,8 +206,7 @@ class MultiStreamer:
         fl = self._frame_samples
         if n_samples < fl or (n_samples - fl) // (fl // 2) + 1 < F.MIN_FRAMES:
             return 0
-        t120 = (n_samples + 2 * (fl // 2)) // (fl // 2) - 1
-        return t120 // 2 + t120 % 2
+        return num_frames_60(n_samples, fl)
 
     def _needs_tick(self, st: _Session, final: bool) -> bool:
         if st.pending:
@@ -229,7 +226,7 @@ class MultiStreamer:
         if not work:
             return {}
 
-        k = _pow2(len(work))
+        k = pow2_bucket(len(work))
         P = self.push_capacity
         new = np.zeros((k, P), np.float32)
         # padding rows (i >= len(work)) target row K_cap — out of range, so
@@ -337,8 +334,14 @@ class MultiStreamer:
             n += 1
             k *= 2
         cfg = self.cfg
+        # worst case per session per tick: a full f_win backlog during a
+        # flush plans ceil((f_win - overlap) / stride) windows plus the
+        # final tail (3 at the 256/128/16 defaults) — warm every
+        # power-of-two decode bucket up to all sessions hitting it at once
+        stride = cfg.frame_size - cfg.overlap
+        per_session = max(1, -(-(self.f_win - cfg.overlap) // stride) + 1)
         m = 1
-        while m <= kcap * 2:  # catch-up ticks can carry 2 windows/session
+        while m <= pow2_bucket(kcap * per_session):
             decode_chunks_batched(
                 self.params,
                 rng.standard_normal(

@@ -60,6 +60,12 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8):
         return state["ms"]
 
     class Handler(BaseHTTPRequestHandler):
+        @staticmethod
+        def warmup() -> int:
+            """Pre-compile the live-session tick/decode programs (see
+            serve()/warmup_handler — called at deployment startup)."""
+            return get_streamer().warmup()
+
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -123,7 +129,7 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8):
                 self._send(404, {"error": "unknown path"})
                 return
             sid, verb = int(parts[1]), parts[2]
-            if sid not in ms._sessions:
+            if not ms.has_session(sid):
                 self._send(404, {"error": f"no session {sid}"})
                 return
             if verb == "audio":
@@ -168,12 +174,26 @@ def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
     return httpd
 
 
+def warmup_handler(httpd) -> int:
+    """Pre-compile the live-session programs before accepting traffic.
+
+    The session tick/decode programs compile per shape bucket; without this,
+    the first push of a deployment stalls every queued request behind a
+    multi-second XLA compile (measured 12.5 s+ per fresh bucket on a real
+    TPU — docs/PERF.md). Returns the number of programs compiled."""
+    return httpd.RequestHandlerClass.warmup()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="out/model.pth")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8200)
     parser.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    parser.add_argument("--max_sessions", type=int, default=8)
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="skip startup pre-compilation (first live "
+                        "session then pays the XLA compiles)")
     args = parser.parse_args(argv)
 
     import jax
@@ -184,7 +204,12 @@ def main(argv=None):
 
     cfg = Config()
     params = load_model(args.model, cfg)
-    httpd = serve(params, cfg, args.host, args.port)
+    httpd = serve(params, cfg, args.host, args.port,
+                  max_sessions=args.max_sessions)
+    if not args.no_warmup:
+        print("warming up live-session programs (one-time XLA compiles)…")
+        n = warmup_handler(httpd)
+        print(f"warmed {n} programs")
     print(f"serving audio→blendshapes on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -242,11 +242,15 @@ class BlendshapeStreamer:
         else:
             max_samples = int(max_buffer_seconds * cfg.sr)
 
-        # decode program: fixed [1, frame_size, input_dim] shape
+        # decode program at every bucket a session can hit: steady state is
+        # one window per drain, but a catch-up push or a flush with leftover
+        # rows plans several — decode_chunks_batched pads to power-of-two
+        # row buckets, so warm 1, 2 and 4
         rng = np.random.default_rng(0)
-        chunk = rng.standard_normal(
-            (1, cfg.frame_size, cfg.input_dim)).astype(np.float32)
-        decode_chunks_batched(self.params, chunk, cfg)
+        for m in (1, 2, 4):
+            chunk = rng.standard_normal(
+                (m, cfg.frame_size, cfg.input_dim)).astype(np.float32)
+            decode_chunks_batched(self.params, chunk, cfg)
 
         if not self._default_extract:
             self._extract(rng.standard_normal(max_samples).astype(np.float32))

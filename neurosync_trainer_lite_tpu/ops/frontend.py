@@ -319,11 +319,7 @@ def extract_features_valid(y: jnp.ndarray, n_samples, sr: int) -> jnp.ndarray:
     features whose first (t120+1)//2 rows equal the unpadded extraction
     (tests/test_device_pipeline.py pins equality through the serving path)."""
     frame_length = int(0.01667 * sr)
-    hop = frame_length // 2
-    if frame_length % 2 == 0:
-        t120 = (n_samples + 2 * (frame_length // 2)) // hop - 1
-    else:
-        t120 = 1 + (n_samples + 2 * (frame_length // 2) - frame_length) // hop
+    t120 = num_frames_120(n_samples, frame_length)
     return jnp.concatenate(
         [_mfcc_69_valid(y, sr, frame_length, t120),
          _autocorr_187_valid(y, frame_length, n_samples, t120)], axis=1)
@@ -337,6 +333,33 @@ def _extract_valid_jit(y_pad: jnp.ndarray, n_samples, sr: int) -> jnp.ndarray:
 #: smallest power-of-two sample bucket (~1.5 s at 88.2 kHz); buckets double
 #: above it, so an hour-long clip is ~12 compile variants from the shortest
 MIN_SAMPLE_BUCKET = 1 << 17
+
+
+def pow2_bucket(n: int, minimum: int = 1) -> int:
+    """Smallest power-of-two ≥ n (and ≥ minimum) — the shared shape-bucket
+    rule for every serving surface (decode batches, sample buckets, session
+    counts), so compile caches key on O(log) shapes."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def num_frames_120(n_samples, frame_length: int):
+    """120 fps frame count of the center-padded half-overlap framing — the
+    single source for the host/device agreement the serving pipelines rely
+    on (chunk gathers index rows this formula counts). n_samples may be a
+    traced scalar; frame_length is static."""
+    hop = frame_length // 2
+    if frame_length % 2 == 0:
+        return (n_samples + 2 * (frame_length // 2)) // hop - 1
+    return 1 + (n_samples + 2 * (frame_length // 2) - frame_length) // hop
+
+
+def num_frames_60(n_samples, frame_length: int):
+    """60 fps feature-row count after the pair-reduce (odd tail kept)."""
+    t120 = num_frames_120(n_samples, frame_length)
+    return t120 // 2 + t120 % 2
 
 
 def extract_audio_features_bucketed(y, sr: int = 88200,
@@ -354,16 +377,11 @@ def extract_audio_features_bucketed(y, sr: int = 88200,
     num_frames = (n - frame_length) // hop + 1
     if num_frames < F.MIN_FRAMES:
         return None
-    bucket = min_bucket
-    while bucket < n + frame_length // 2 + 1:  # autocorr reflected-tail room
-        bucket *= 2
+    # + autocorr reflected-tail room
+    bucket = pow2_bucket(n + frame_length // 2 + 1, min_bucket)
     y_pad = np.zeros(bucket, np.float32)
     y_pad[:n] = y
-    if frame_length % 2 == 0:
-        t120 = (n + 2 * (frame_length // 2)) // hop - 1
-    else:
-        t120 = 1 + (n + 2 * (frame_length // 2) - frame_length) // hop
-    t60 = t120 // 2 + (t120 % 2)
+    t60 = num_frames_60(n, frame_length)
     feats = _extract_valid_jit(jnp.asarray(y_pad), jnp.int32(n), sr)
     # download the whole bucket and slice on host: slicing on device would
     # compile (and dispatch) a tiny per-length program — one extra link

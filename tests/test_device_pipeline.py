@@ -121,3 +121,15 @@ def test_decode_program_reuses_compile_cache_across_lengths(params):
         out = dp.infer_waveform_device(y, params, CFG, normalized=True)
         assert out is not None
     assert dp._infer_bucketed._cache_size() <= before + 1
+
+
+def test_bad_input_does_not_trip_device_breaker(params):
+    """A malformed request is an INPUT error: it must surface to the caller
+    without permanently disabling the (3x faster) device pipeline for the
+    process — the sticky breaker is for DEVICE failures only."""
+    from neurosync_trainer_lite_tpu.inference import api
+
+    api._device_pipeline_broken = False
+    with pytest.raises(Exception):
+        generate_facial_data_from_bytes(b"definitely not audio", params, CFG)
+    assert api._device_pipeline_broken is False
