@@ -143,13 +143,16 @@ def test_oversized_push_backpressures_and_catches_up(setup):
 
 def test_tick_program_cache_bounded_and_warmup_covers_it(setup):
     """The tick program compiles per active-session bucket only; warmup()
-    pre-walks every bucket so live ticks never compile."""
+    pre-walks every bucket — including the decode buckets that flush-tail
+    multi-window plans hit — so live ticks never compile."""
     from neurosync_trainer_lite_tpu.inference import multi_stream as M
+    from neurosync_trainer_lite_tpu.inference.chunked import _decode_fn
 
     cfg, params = setup
     ms = _multi(params, cfg, max_sessions=4)
     ms.warmup()
     after_warm = M._tick_program._cache_size()
+    decode_after_warm = _decode_fn(cfg)._cache_size()
 
     rng = np.random.default_rng(4)
     sids = [ms.open() for _ in range(3)]
@@ -163,3 +166,4 @@ def test_tick_program_cache_bounded_and_warmup_covers_it(setup):
         ms.flush(sid)
         assert ms.pop_frames(sid).shape[1] == cfg.output_dim
     assert M._tick_program._cache_size() == after_warm
+    assert _decode_fn(cfg)._cache_size() == decode_after_warm
