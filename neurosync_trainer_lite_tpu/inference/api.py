@@ -17,9 +17,14 @@ from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
 from neurosync_trainer_lite_tpu.inference.chunked import process_audio_features
 
 
-# set after a device-pipeline failure so subsequent requests go straight to
-# the host path instead of re-running the failing device attempt
+# set after repeated device-pipeline failures so subsequent requests go
+# straight to the host path instead of re-paying the failing device attempt
 _device_pipeline_broken = False
+#: consecutive device failures tolerated before the breaker trips — a single
+#: transient fault (a tunnel flap on this rig, a preempted device) shouldn't
+#: permanently downgrade the process to the 3x-slower host path
+_DEVICE_FAILURE_LIMIT = 2
+_device_failures = 0
 
 
 def smooth_by_averaging_pairs(data: np.ndarray) -> np.ndarray:
@@ -42,7 +47,7 @@ def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
     (inference/chunked.py). Both are equality-tested against each other
     (tests/test_device_pipeline.py).
     """
-    global _device_pipeline_broken
+    global _device_pipeline_broken, _device_failures
     if pipeline == "device" and not _device_pipeline_broken:
         from neurosync_trainer_lite_tpu.inference import device_pipeline as dp
 
@@ -53,17 +58,25 @@ def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
         try:
             out = dp.infer_waveform_device(y, params, cfg,
                                            normalized=normalized)
+            _device_failures = 0
             if out is None:
                 return [], np.array([])  # reference's too-short signature
             if use_smoothing:
                 out = smooth_by_averaging_pairs(out)
             return out
         except Exception as e:  # pragma: no cover - device fallback
-            # sticky: a deterministic DEVICE failure (OOM, tracing bug) would
-            # otherwise re-pay the failed attempt on EVERY request
-            _device_pipeline_broken = True
-            print("device pipeline failed — disabling it for this process "
-                  f"and serving via the host path: {e!r}")
+            # breaker: a deterministic DEVICE failure (OOM, tracing bug)
+            # would otherwise re-pay the failed attempt on EVERY request —
+            # but tolerate isolated transient faults (link flap, preemption)
+            _device_failures += 1
+            if _device_failures >= _DEVICE_FAILURE_LIMIT:
+                _device_pipeline_broken = True
+                print("device pipeline failed repeatedly — disabling it for "
+                      f"this process, serving via the host path: {e!r}")
+            else:
+                print(f"device pipeline failed (attempt {_device_failures}/"
+                      f"{_DEVICE_FAILURE_LIMIT} before disable) — serving "
+                      f"this request via the host path: {e!r}")
 
     audio_features, y = extract_audio_features(
         audio_bytes, sr=cfg.sr, from_bytes=True)

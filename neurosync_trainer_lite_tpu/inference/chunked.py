@@ -104,6 +104,57 @@ def decode_chunks_batched(params, chunks: np.ndarray, cfg: Config) -> np.ndarray
     return np.asarray(out[:n], dtype=np.float64)
 
 
+class MeshDecoder:
+    """Serving decode sharded over a device mesh — the inference-side
+    counterpart of the training comm backend (parallel/mesh.py).
+
+    Parameters are placed ONCE at construction: Megatron column/row rules on
+    the 'model' axis (TP), replicated over 'data'; each decode call shards
+    its chunk batch over 'data' and XLA inserts the TP collectives. Matches
+    the `decode_batched(params, chunks, cfg)` signature so it drops into
+    `process_audio_features` and the streamers:
+
+        mesh = make_mesh(cfg)
+        dec = MeshDecoder(params, cfg, mesh)
+        frames = process_audio_features(feats, params, cfg, decode_batched=dec)
+
+    The `params` argument of __call__ is ignored (the constructor's placed
+    copy is used) — it exists for signature compatibility.
+    """
+
+    def __init__(self, params, cfg: Config, mesh):
+        from neurosync_trainer_lite_tpu.parallel.mesh import (
+            batch_sharding,
+            shard_params,
+        )
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self._params = shard_params(params, cfg, mesh)
+        self._batch_sharding = batch_sharding(mesh)
+        self._dp = mesh.shape["data"]
+        self._decode = jax.jit(
+            lambda p, chunks: seq2seq_apply(p, chunks, cfg))
+
+    def __call__(self, params, chunks: np.ndarray, cfg=None) -> np.ndarray:
+        from neurosync_trainer_lite_tpu.ops.frontend import pow2_bucket
+
+        n = chunks.shape[0]
+        # bucket to a power of two AND a multiple of the data-axis size so
+        # every device holds equal rows
+        bucket = pow2_bucket(max(n, self._dp))
+        if bucket % self._dp:
+            bucket = -(-bucket // self._dp) * self._dp
+        if bucket != n:
+            chunks = np.concatenate(
+                [chunks,
+                 np.zeros((bucket - n, *chunks.shape[1:]), chunks.dtype)])
+        placed = jax.device_put(jnp.asarray(chunks, jnp.float32),
+                                self._batch_sharding)
+        out = self._decode(self._params, placed)
+        return np.asarray(out[:n], dtype=np.float64)
+
+
 def _chunk_starts(num_frames: int, frame_length: int, overlap: int):
     starts, start = [], 0
     while start < num_frames:

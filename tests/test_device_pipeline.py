@@ -133,3 +133,45 @@ def test_bad_input_does_not_trip_device_breaker(params):
     with pytest.raises(Exception):
         generate_facial_data_from_bytes(b"definitely not audio", params, CFG)
     assert api._device_pipeline_broken is False
+
+
+def test_transient_device_fault_does_not_trip_breaker(params, monkeypatch):
+    """One transient device failure (link flap, preemption) serves that
+    request via the host path and RETRIES the device path next request;
+    only repeated consecutive failures trip the sticky breaker."""
+    from neurosync_trainer_lite_tpu.inference import api
+    from neurosync_trainer_lite_tpu.inference import device_pipeline as dp
+
+    api._device_pipeline_broken = False
+    api._device_failures = 0
+    y = np.random.default_rng(4).standard_normal(CFG.sr * 3).astype(np.float32)
+    wav = audio_to_bytes(y * 0.3, CFG.sr)
+
+    calls = {"n": 0}
+    real = dp.infer_waveform_device
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient link flap")
+        return real(*a, **k)
+
+    monkeypatch.setattr(dp, "infer_waveform_device", flaky)
+    try:
+        out = generate_facial_data_from_bytes(wav, params, CFG)  # host serves
+        assert len(out) > 0
+        assert not api._device_pipeline_broken
+        out = generate_facial_data_from_bytes(wav, params, CFG)  # device again
+        assert calls["n"] == 2 and not api._device_pipeline_broken
+        assert api._device_failures == 0  # success reset the counter
+
+        monkeypatch.setattr(
+            dp, "infer_waveform_device",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("dead")))
+        generate_facial_data_from_bytes(wav, params, CFG)
+        assert not api._device_pipeline_broken
+        generate_facial_data_from_bytes(wav, params, CFG)
+        assert api._device_pipeline_broken  # consecutive failures trip it
+    finally:
+        api._device_pipeline_broken = False
+        api._device_failures = 0

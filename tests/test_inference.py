@@ -117,3 +117,36 @@ def test_real_model_end_to_end():
     np.testing.assert_array_equal(out1, out2)
     # outputs rescaled: raw model outputs are O(0.1-1), /100 makes them small
     assert np.abs(out1).max() < 1.0
+
+
+def test_mesh_decoder_matches_single_device():
+    """Serving decode sharded over the virtual mesh (data-parallel chunks,
+    Megatron-TP params) must equal the single-device batched decode, both
+    standalone and through the full chunked serving path."""
+    from neurosync_trainer_lite_tpu.config import tiny_config
+    from neurosync_trainer_lite_tpu.inference.chunked import (
+        MeshDecoder,
+        decode_chunks_batched,
+        process_audio_features,
+    )
+    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+    from neurosync_trainer_lite_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config(frame_size=32, overlap=8)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    feats = rng.standard_normal((150, cfg.input_dim)).astype(np.float32)
+
+    want = process_audio_features(feats, params, cfg)
+    for dp, tp in ((8, 1), (4, 2)):
+        mesh = make_mesh(cfg.replace(dp=dp, tp=tp))
+        dec = MeshDecoder(params, cfg, mesh)
+        # standalone: odd chunk count exercises the dp-multiple bucketing
+        chunks = rng.standard_normal(
+            (5, cfg.frame_size, cfg.input_dim)).astype(np.float32)
+        np.testing.assert_allclose(
+            dec(params, chunks, cfg),
+            decode_chunks_batched(params, chunks, cfg), atol=1e-5, rtol=1e-4)
+        # full serving path
+        got = process_audio_features(feats, params, cfg, decode_batched=dec)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
