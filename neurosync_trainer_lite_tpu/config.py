@@ -137,6 +137,13 @@ class Config:
                                      # recompute in the backward pass — dial
                                      # to the chip's spare HBM
     attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
+    async_checkpoint: bool = True    # overlap the per-epoch checkpoint +
+                                     # model.pth export (device→host fetch +
+                                     # disk write) with the epoch's
+                                     # validation inference; the loop waits
+                                     # for pending saves before the next
+                                     # epoch trains (its first step donates
+                                     # the saved buffers) and at exit
 
     # ---------------------------------------------------------------------------
     @property

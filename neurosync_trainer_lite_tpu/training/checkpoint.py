@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from datetime import datetime
 
 import jax
@@ -28,6 +29,31 @@ from neurosync_trainer_lite_tpu.training.step import TrainState, init_train_stat
 _STATE_SUBDIR = "state"
 _META_FILE = "meta.json"
 _KEEP_BACKUPS = 5
+
+# async-save machinery: one persistent AsyncCheckpointer (its background
+# serialization overlaps the device→host fetch + disk write with the next
+# epoch's compute — JAX arrays are immutable, so the snapshot is consistent)
+# plus background threads for the model.pth export
+_async_ckptr: ocp.AsyncCheckpointer | None = None
+_export_threads: list[threading.Thread] = []
+
+
+def _get_async_ckptr() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every async checkpoint save and model.pth export has
+    landed on disk. Called before the next save's backup rotation (the
+    previous save must be complete before it is moved) and at loop end."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    for t in _export_threads:
+        t.join()
+    _export_threads.clear()
 
 
 def _rotate_backups(checkpoint_path: str) -> None:
@@ -55,14 +81,28 @@ def _rotate_backups(checkpoint_path: str) -> None:
 
 
 def save_checkpoint(state: TrainState, epoch: int, batch_step: int,
-                    cfg: Config, checkpoint_path: str | None = None) -> None:
+                    cfg: Config, checkpoint_path: str | None = None,
+                    *, async_save: bool = False) -> None:
+    """async_save=True returns as soon as the save is enqueued — the
+    device→host fetch and disk write overlap the caller's read-only work
+    (the loop's validation inference; TRAINING_DEMO.md measured the
+    synchronous per-epoch save at minutes on the tunnel rig). CONTRACT: the
+    caller must wait_for_pending_saves() before anything DONATES the saved
+    state's buffers — the first train step of the next epoch does, and a
+    donated-away array crashes the in-flight save ("Array has been
+    deleted", observed on the real TPU). Rotation waits for any pending
+    save first, and restore callers must wait_for_pending_saves()."""
     path = os.path.abspath(checkpoint_path or cfg.checkpoint_path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    wait_for_pending_saves()  # the previous save must land before rotating
     _rotate_backups(path)
 
     os.makedirs(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, _STATE_SUBDIR), state)
+    if async_save:
+        _get_async_ckptr().save(os.path.join(path, _STATE_SUBDIR), state)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, _STATE_SUBDIR), state)
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump({"epoch": epoch, "batch_step": batch_step,
                    "config": cfg.to_dict()}, f, indent=2)
@@ -91,12 +131,21 @@ def load_checkpoint(checkpoint_path: str, cfg: Config, steps_per_epoch: int,
     return meta["epoch"], meta["batch_step"], TrainState(*state)
 
 
-def save_final_model(params, cfg: Config, final_model_path: str | None = None) -> None:
+def save_final_model(params, cfg: Config, final_model_path: str | None = None,
+                     *, async_save: bool = False) -> None:
     """Weights-only export in the reference's model.pth format
-    (reference: model_utils.py:46-49)."""
+    (reference: model_utils.py:46-49). async_save=True runs the fetch +
+    torch write in a background thread (params are immutable jax arrays, so
+    the snapshot is consistent); join via wait_for_pending_saves()."""
     from neurosync_trainer_lite_tpu.utils.torch_interop import save_torch_model
 
     path = final_model_path or cfg.model_path
+    if async_save:
+        t = threading.Thread(
+            target=save_torch_model, args=(params, cfg, path), daemon=True)
+        t.start()
+        _export_threads.append(t)
+        return
     save_torch_model(params, cfg, path)
     print(f"Final model saved to {path}")
 

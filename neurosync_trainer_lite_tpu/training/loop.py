@@ -33,6 +33,7 @@ from neurosync_trainer_lite_tpu.training.checkpoint import (
     load_checkpoint,
     save_checkpoint,
     save_final_model,
+    wait_for_pending_saves,
 )
 from neurosync_trainer_lite_tpu.training.step import (
     TrainState,
@@ -333,6 +334,12 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
               f"No comparison stats/plots will be written.")
 
     for epoch in range(start_epoch, cfg.n_epochs):
+        # async saves from the previous epoch must land BEFORE training
+        # resumes: the first train step DONATES the state buffers the save
+        # is still reading (measured crash: "Array has been deleted" in the
+        # export thread). The save therefore overlaps the validation phase
+        # below — which only reads params — not the next epoch's compute.
+        wait_for_pending_saves()
         state, batch_step, _ = train_one_epoch(
             epoch, state, train_view, val_view, cfg, train_step, eval_step,
             batch_step=batch_step, mesh=mesh,
@@ -340,13 +347,19 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             verbose=verbose)
 
         if save_artifacts:
-            save_checkpoint(state, epoch, batch_step, cfg)
-            save_final_model(state.params, cfg)
+            # async (default): the ~3 GB state fetch + disk write overlap
+            # the next epoch; save_checkpoint waits for the previous save
+            # before rotating backups (training/checkpoint.py)
+            save_checkpoint(state, epoch, batch_step, cfg,
+                            async_save=cfg.async_checkpoint)
+            save_final_model(state.params, cfg,
+                             async_save=cfg.async_checkpoint)
             if have_val_assets:
                 generate_and_save_facial_data(
                     epoch, cfg.audio_path, state.params,
                     cfg.ground_truth_path, cfg)
 
     if save_artifacts:
+        wait_for_pending_saves()
         save_final_model(state.params, cfg)
     return state, batch_step

@@ -66,3 +66,74 @@ def test_model_pth_roundtrip(tmp_path):
 
     back = load_model(path, CFG)
     _trees_equal(state.params, back)
+
+
+def test_async_save_restores_identically_and_rotates(tmp_path):
+    """async_save=True must land an identical checkpoint + model.pth after
+    wait_for_pending_saves(), and a following save must wait for it before
+    rotating the directory into a backup."""
+    from neurosync_trainer_lite_tpu.training.checkpoint import (
+        wait_for_pending_saves)
+
+    path = str(tmp_path / "ckpt")
+    state, _ = init_train_state(CFG, steps_per_epoch=10,
+                                rng=jax.random.PRNGKey(8))
+    save_checkpoint(state, 1, 5, CFG, path, async_save=True)
+    save_final_model(state.params, CFG, str(tmp_path / "model.pth"),
+                     async_save=True)
+    wait_for_pending_saves()
+
+    epoch, batch_step, restored = load_checkpoint(path, CFG,
+                                                  steps_per_epoch=10)
+    assert (epoch, batch_step) == (1, 5)
+    _trees_equal(state.params, restored.params)
+    assert (tmp_path / "model.pth").exists()
+
+    save_checkpoint(state, 2, 9, CFG, path, async_save=True)
+    wait_for_pending_saves()
+    assert any(d.name.startswith("backup_") for d in tmp_path.iterdir())
+    epoch, batch_step, _ = load_checkpoint(path, CFG, steps_per_epoch=10)
+    assert (epoch, batch_step) == (2, 9)
+
+
+def test_loop_waits_for_pending_saves_before_donating(tmp_path, monkeypatch):
+    """Async saves read the state buffers that the NEXT epoch's first train
+    step DONATES — the loop must wait_for_pending_saves() before each epoch
+    trains (real-TPU crash otherwise; CPU ignores donation, so only this
+    ordering assertion can catch a regression here)."""
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.config import tiny_config
+    from neurosync_trainer_lite_tpu.training import loop as L
+
+    events = []
+    real_wait = L.wait_for_pending_saves
+    real_epoch = L.train_one_epoch
+    monkeypatch.setattr(
+        L, "wait_for_pending_saves",
+        lambda: (events.append("wait"), real_wait())[1])
+    monkeypatch.setattr(
+        L, "train_one_epoch",
+        lambda *a, **k: (events.append("train"), real_epoch(*a, **k))[1])
+
+    cfg = tiny_config(
+        hidden_dim=32, n_layers=1, num_heads=2, batch_size=4, n_epochs=2,
+        micro_batch_size=16, frame_size=16, overlap=4, dp=1, tp=1,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        model_path=str(tmp_path / "model.pth"),
+        plots_dir=str(tmp_path / "plots"),
+        audio_path=str(tmp_path / "missing.wav"),  # skip validation assets
+        ground_truth_path=str(tmp_path / "missing.csv"))
+    rng = np.random.default_rng(0)
+    clips = [(rng.standard_normal((40, cfg.input_dim)).astype(np.float32),
+              rng.standard_normal((40, cfg.output_dim)).astype(np.float32))]
+    L.train_model(cfg, clips, verbose=False)
+
+    # every train event must be preceded by a wait event (same count before)
+    waits = 0
+    for ev in events:
+        if ev == "wait":
+            waits += 1
+        else:
+            assert waits > 0, events  # a train ran without a prior wait
+            waits -= 1
