@@ -109,6 +109,11 @@ class _Session:
     asm: FrameAssembler
     buf_len: int = 0              # valid samples in the ring
     pending: list = field(default_factory=list)  # host-queued new audio
+    #: host mirror of the ring content — the recovery source when a device
+    #: fault (tunnel flap, preemption) loses the HBM rings. Costs only a
+    #: bounded memcpy per tick: the samples are already on host at push time.
+    shadow: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
     is_open: bool = True
 
 
@@ -154,6 +159,7 @@ class MultiStreamer:
         self.f_win = min(f_win, self._t60_cap)
 
         kcap = pow2_bucket(max_sessions)
+        self._kcap = kcap
         self._buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
         self._free_rows = list(range(kcap - 1, -1, -1))
         self._sessions: dict[int, _Session] = {}
@@ -214,11 +220,14 @@ class MultiStreamer:
         avail = self._t60_valid(st.buf_len) - st.asm.consumed
         return avail >= (1 if final else self.cfg.frame_size)
 
-    def tick(self, *, final_ids=()) -> dict[int, int]:
+    def tick(self, *, final_ids=(), _retry: bool = True) -> dict[int, int]:
         """Run one serving tick; returns {sid: newly finalized frames}.
 
         Sessions in final_ids drain to the very end (flush semantics) —
-        `flush()` wraps this with the catch-up loop.
+        `flush()` wraps this with the catch-up loop. A device failure
+        (tunnel flap, preemption) loses the HBM rings; the tick then
+        rebuilds every session from its host shadow and retries once —
+        no audio and no emitted-frame continuity is lost.
         """
         final_ids = set(final_ids)
         work = [(sid, st) for sid, st in self._sessions.items()
@@ -263,12 +272,26 @@ class MultiStreamer:
             feat_start[i] = fs_eff
             offsets.append(fs_req - fs_eff)
             takes.append(take)
+            # keep the host shadow identical to the post-tick ring content
+            # (intake already matches asm.shift above, so a recovery rebuild
+            # preserves buffer-space indices and emitted-frame continuity)
+            if sh or take:
+                st.shadow = np.concatenate([st.shadow[sh:], new[i, :take]])
 
-        self._buf, wins = _tick_program(
-            self._buf, jnp.asarray(idx), jnp.asarray(new),
-            jnp.asarray(shift), jnp.asarray(buf_len), jnp.asarray(new_len),
-            jnp.asarray(feat_start), sr=self.cfg.sr, f_win=self.f_win)
-        wins = np.asarray(wins)
+        try:
+            self._buf, wins = _tick_program(
+                self._buf, jnp.asarray(idx), jnp.asarray(new),
+                jnp.asarray(shift), jnp.asarray(buf_len),
+                jnp.asarray(new_len), jnp.asarray(feat_start),
+                sr=self.cfg.sr, f_win=self.f_win)
+            wins = np.asarray(wins)
+        except Exception as e:
+            if not _retry:
+                raise
+            print(f"serving tick failed ({e!r}) — rebuilding device rings "
+                  "from host shadows and retrying")
+            self._recover_rings()
+            return self.tick(final_ids=final_ids, _retry=False)
 
         # ingest + plan per session, then ONE cross-session batched decode
         all_windows, plan_of = [], []
@@ -296,6 +319,19 @@ class MultiStreamer:
                 st.asm.apply(plans, decoded[at: at + len(w)])
                 at += len(w)
         return {sid: st.asm.frames_ready - before[sid] for sid, st in work}
+
+    def _recover_rings(self) -> None:
+        """Rebuild after a device fault lost the HBM rings: fresh zero
+        buffer; every session's shadow (== its exact pre-fault ring content,
+        so buffer-space indices and the consumption cursor stay valid) is
+        re-queued ahead of any still-pending audio and re-uploaded over the
+        following ticks through the normal intake path."""
+        self._buf = jnp.zeros((self._kcap, self._s_cap), jnp.float32)
+        for st in self._sessions.values():
+            if len(st.shadow):
+                st.pending = [st.shadow] + st.pending
+                st.shadow = np.zeros(0, np.float32)
+            st.buf_len = 0
 
     def flush(self, sid: int, *, max_ticks: int = 1000) -> int:
         """Finalize everything the session buffered; returns frames added."""
