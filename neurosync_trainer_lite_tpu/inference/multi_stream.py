@@ -82,6 +82,11 @@ def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
         bl = bl - sh
         pos = jnp.arange(S)
         b = jnp.where(pos < bl, b, 0.0)
+        # int16 PCM pushes upload half the bytes; the /32768 widening is a
+        # power-of-two multiply — exact in fp32, same rule as the device
+        # pipeline's capture-format path (inference/device_pipeline.py)
+        if nw.dtype == jnp.int16:
+            nw = nw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         # append: place the new chunk at bl via roll (clamp-free — a
         # dynamic_update_slice would clip its start near the ring end and
         # overwrite valid audio); everything beyond nl in nw is zero, and
@@ -192,8 +197,16 @@ class MultiStreamer:
     # -- feeding / reading ---------------------------------------------------
 
     def push_audio(self, sid: int, samples: np.ndarray) -> None:
-        """Queue raw mono samples at cfg.sr (uploaded at the next tick)."""
-        samples = np.asarray(samples, np.float32).reshape(-1)
+        """Queue raw mono samples at cfg.sr (uploaded at the next tick).
+
+        int16 PCM (the LiveLink capture format) is kept as int16 and
+        uploaded raw — half the bytes of fp32, widened exactly on device —
+        whenever every session's queued audio that tick is int16; float
+        input is taken as already-normalized [-1, 1] samples."""
+        samples = np.asarray(samples)
+        if samples.dtype != np.int16:
+            samples = samples.astype(np.float32)
+        samples = samples.reshape(-1)
         if samples.size:
             self._sessions[sid].pending.append(samples)
 
@@ -237,7 +250,17 @@ class MultiStreamer:
 
         k = pow2_bucket(len(work))
         P = self.push_capacity
-        new = np.zeros((k, P), np.float32)
+        # upload dtype: raw int16 (half the bytes; widened on device) when
+        # every queued piece this tick is int16, else fp32 with int16 pieces
+        # widened on host — one program variant per dtype, both warmed
+        pieces = [p for _, st in work for p in st.pending]
+        use_i16 = bool(pieces) and all(p.dtype == np.int16 for p in pieces)
+        if not use_i16:
+            for _, st in work:
+                st.pending = [
+                    p.astype(np.float32) / 32768.0 if p.dtype == np.int16
+                    else p for p in st.pending]
+        new = np.zeros((k, P), np.int16 if use_i16 else np.float32)
         # padding rows (i >= len(work)) target row K_cap — out of range, so
         # the tick program's scatter drops their (all-zero) writes
         idx = np.full(k, len(self._buf), np.int32)
@@ -274,9 +297,13 @@ class MultiStreamer:
             takes.append(take)
             # keep the host shadow identical to the post-tick ring content
             # (intake already matches asm.shift above, so a recovery rebuild
-            # preserves buffer-space indices and emitted-frame continuity)
+            # preserves buffer-space indices and emitted-frame continuity);
+            # the shadow always holds WIDENED floats — the ring's dtype
             if sh or take:
-                st.shadow = np.concatenate([st.shadow[sh:], new[i, :take]])
+                taken = new[i, :take]
+                if taken.dtype == np.int16:
+                    taken = taken.astype(np.float32) / 32768.0
+                st.shadow = np.concatenate([st.shadow[sh:], taken])
 
         try:
             self._buf, wins = _tick_program(
@@ -353,21 +380,23 @@ class MultiStreamer:
         program at each active-session bucket and the decode program at each
         window bucket. Returns the number of programs compiled."""
         rng = np.random.default_rng(0)
-        kcap = len(self._buf)
+        kcap = self._kcap
         n = 0
         k = 1
         while k <= kcap:
-            buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
-            _tick_program(
-                buf, jnp.arange(k, dtype=jnp.int32),
-                jnp.asarray(rng.standard_normal(
-                    (k, self.push_capacity)).astype(np.float32) * 0.1),
-                jnp.zeros(k, jnp.int32),
-                jnp.zeros(k, jnp.int32),
-                jnp.full(k, self.push_capacity, jnp.int32),
-                jnp.zeros(k, jnp.int32),
-                sr=self.cfg.sr, f_win=self.f_win)
-            n += 1
+            # both upload-dtype variants: fp32 pushes and raw-int16 pushes
+            noise = rng.standard_normal((k, self.push_capacity))
+            for new in (np.asarray(noise * 0.1, np.float32),
+                        np.asarray(noise * 3000, np.int16)):
+                buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
+                _tick_program(
+                    buf, jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
+                    jnp.zeros(k, jnp.int32),
+                    jnp.zeros(k, jnp.int32),
+                    jnp.full(k, self.push_capacity, jnp.int32),
+                    jnp.zeros(k, jnp.int32),
+                    sr=self.cfg.sr, f_win=self.f_win)
+                n += 1
             k *= 2
         cfg = self.cfg
         # worst case per session per tick: a full f_win backlog during a

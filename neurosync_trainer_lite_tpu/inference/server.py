@@ -137,8 +137,9 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8):
                 if body is None:
                     return
                 if self.headers.get("X-Audio-Format", "f32") == "s16":
-                    samples = np.frombuffer(body, "<i2").astype(
-                        np.float32) / 32768.0
+                    # kept as int16 end-to-end: MultiStreamer uploads raw
+                    # PCM (half the bytes) and widens /32768 on device
+                    samples = np.frombuffer(body, "<i2")
                 else:
                     samples = np.frombuffer(body, "<f4")
                 ms.push_audio(sid, samples)

@@ -211,3 +211,32 @@ def test_device_fault_recovers_from_host_shadows(setup, monkeypatch):
     # contract as the streamer's buffered-stats drift) — measured max
     # divergence 3.3e-4 on 0.17% of elements
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
+def test_int16_pushes_match_widened_float_pushes(setup):
+    """int16 PCM pushes (uploaded raw, widened /32768 on device) must equal
+    the same audio pushed as pre-widened float32 — including when a float
+    push forces the mixed-dtype host-widening path mid-session."""
+    cfg, params = setup
+    rng = np.random.default_rng(10)
+    pcm = (rng.standard_normal(cfg.sr * 4) * 8000).astype(np.int16)
+    widened = pcm.astype(np.float32) / 32768.0
+    step = cfg.sr // 2
+
+    def run(as_int16, mix_at=None):
+        ms = _multi(params, cfg, max_sessions=2)
+        sid = ms.open()
+        for j, i in enumerate(range(0, len(pcm), step)):
+            chunk = pcm[i: i + step] if as_int16 else widened[i: i + step]
+            if mix_at is not None and j == mix_at:
+                chunk = widened[i: i + step]  # float piece amid int16 ones
+            ms.push_audio(sid, chunk)
+            ms.tick()
+        ms.flush(sid)
+        return ms.pop_frames(sid)
+
+    want = run(as_int16=False)
+    np.testing.assert_allclose(run(as_int16=True), want,
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(run(as_int16=True, mix_at=3), want,
+                               atol=1e-5, rtol=1e-4)
