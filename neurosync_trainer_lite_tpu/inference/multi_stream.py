@@ -119,7 +119,6 @@ class _Session:
     #: bounded memcpy per tick: the samples are already on host at push time.
     shadow: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.float32))
-    is_open: bool = True
 
 
 class MultiStreamer:
@@ -174,8 +173,9 @@ class MultiStreamer:
 
     def open(self) -> int:
         """Allocate a session; returns its id."""
-        if not self._free_rows:
-            raise RuntimeError(f"all {len(self._buf)} session rows busy")
+        # cap at max_sessions, not the pow2 ring capacity rounded above it
+        if not self._free_rows or len(self._sessions) >= self.max_sessions:
+            raise RuntimeError(f"all {self.max_sessions} session slots busy")
         sid = self._next_id
         self._next_id += 1
         self._sessions[sid] = _Session(row=self._free_rows.pop(),

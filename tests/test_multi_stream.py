@@ -240,3 +240,14 @@ def test_int16_pushes_match_widened_float_pushes(setup):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(run(as_int16=True, mix_at=3), want,
                                atol=1e-5, rtol=1e-4)
+
+
+def test_open_caps_at_max_sessions_not_ring_capacity(setup):
+    """max_sessions=3 rounds its ring to 4 rows; the 4th open() must still
+    be refused at the configured limit."""
+    cfg, params = setup
+    ms = _multi(params, cfg, max_sessions=3)
+    for _ in range(3):
+        ms.open()
+    with pytest.raises(RuntimeError):
+        ms.open()
