@@ -59,6 +59,7 @@ from neurosync_trainer_lite_tpu.ops import frontend_np as F
 from neurosync_trainer_lite_tpu.ops.frontend import (
     extract_features_valid,
     num_frames_60,
+    num_frames_120,
     pow2_bucket,
 )
 
@@ -159,7 +160,12 @@ class MultiStreamer:
         #: per-tick new-sample capacity per session (≈1.5 s at 88.2 kHz)
         self.push_capacity = min(1 << 17, self._s_cap // 2)
 
-        self._t60_cap = num_frames_60(self._s_cap, self._frame_samples)
+        # rows the device feature array actually has: the bucket's 120 fps
+        # frame count pair-reduced with the odd frame DROPPED
+        # (ops/frontend.py:_reduce_features_valid trims static-odd buckets;
+        # num_frames_60 would count the odd-tail row that only exists for
+        # the traced VALID length — one row past the array)
+        self._t60_cap = num_frames_120(self._s_cap, self._frame_samples) // 2
         self.f_win = min(f_win, self._t60_cap)
 
         kcap = pow2_bucket(max_sessions)

@@ -332,10 +332,16 @@ class BlendshapeStreamer:
             return
         self._asm.ingest(feats)
 
+    #: max windows per decode call: keeps every batch on a warmed bucket
+    #: (warmup() compiles 1/2/4) and bounds device memory for giant catch-up
+    #: pushes — a 10-minute push drains in bounded groups, not one
+    #: [512, frame, 256] batch through the 228M model
+    DECODE_GROUP = 4
+
     def _drain(self, *, final: bool) -> None:
         plans = self._asm.plan(final=final)
-        if not plans:
-            return
-        decoded = decode_chunks_batched(
-            self.params, self._asm.windows(plans), self.cfg)
-        self._asm.apply(plans, decoded)
+        for at in range(0, len(plans), self.DECODE_GROUP):
+            group = plans[at: at + self.DECODE_GROUP]
+            decoded = decode_chunks_batched(
+                self.params, self._asm.windows(group), self.cfg)
+            self._asm.apply(group, decoded)

@@ -240,9 +240,12 @@ def _ffn(p: dict, x: jnp.ndarray, *, rate: float, rng, train: bool) -> jnp.ndarr
     threshold — so switching paths never changes the dropout sequence. fp32
     keeps plain autodiff for the oracle/parity tests.
     """
-    if x.dtype == jnp.bfloat16:
+    # lean path only where a backward exists (training); eval/serving keeps
+    # the plain composition — the lean residuals buy nothing without a
+    # backward, and the keep-mask would be a pure [B, T, 4H] overhead there
+    if x.dtype == jnp.bfloat16 and train and rng is not None:
         w1 = p["linear1"]["w"]
-        q = int(round(rate * 256)) if (train and rng is not None) else 0
+        q = int(round(rate * 256))
         if q < 256:  # rate ≈ 1.0 drops everything — fall through to plain
             if q <= 0:
                 keep = jnp.ones(x.shape[:-1] + (w1.shape[-1],), bool)

@@ -36,6 +36,7 @@ _KEEP_BACKUPS = 5
 # plus background threads for the model.pth export
 _async_ckptr: ocp.AsyncCheckpointer | None = None
 _export_threads: list[threading.Thread] = []
+_pending_meta: list[tuple[str, dict]] = []
 
 
 def _get_async_ckptr() -> ocp.AsyncCheckpointer:
@@ -45,15 +46,30 @@ def _get_async_ckptr() -> ocp.AsyncCheckpointer:
     return _async_ckptr
 
 
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
 def wait_for_pending_saves() -> None:
     """Block until every async checkpoint save and model.pth export has
-    landed on disk. Called before the next save's backup rotation (the
-    previous save must be complete before it is moved) and at loop end."""
+    landed on disk, THEN write the deferred meta sidecars. Called before
+    the next save's backup rotation (the previous save must be complete
+    before it is moved) and at loop end.
+
+    The meta write is deferred so the sync path's crash invariant holds
+    under async too: meta.json present ⇒ the state/ subdir is complete. A
+    crash mid-async-save leaves a checkpoint directory without meta —
+    recognizably incomplete, same as a crash mid-sync-save — instead of a
+    valid-looking meta over a half-written state."""
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
     for t in _export_threads:
         t.join()
     _export_threads.clear()
+    for path, meta in _pending_meta:
+        _write_meta(path, meta)
+    _pending_meta.clear()
 
 
 def _rotate_backups(checkpoint_path: str) -> None:
@@ -98,14 +114,17 @@ def save_checkpoint(state: TrainState, epoch: int, batch_step: int,
     _rotate_backups(path)
 
     os.makedirs(path)
+    meta = {"epoch": epoch, "batch_step": batch_step,
+            "config": cfg.to_dict()}
     if async_save:
         _get_async_ckptr().save(os.path.join(path, _STATE_SUBDIR), state)
+        # meta is written by wait_for_pending_saves AFTER the state lands —
+        # meta.json present must always imply state/ is complete
+        _pending_meta.append((path, meta))
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(path, _STATE_SUBDIR), state)
-    with open(os.path.join(path, _META_FILE), "w") as f:
-        json.dump({"epoch": epoch, "batch_step": batch_step,
-                   "config": cfg.to_dict()}, f, indent=2)
+        _write_meta(path, meta)
 
 
 def load_checkpoint(checkpoint_path: str, cfg: Config, steps_per_epoch: int,
@@ -141,8 +160,16 @@ def save_final_model(params, cfg: Config, final_model_path: str | None = None,
 
     path = final_model_path or cfg.model_path
     if async_save:
-        t = threading.Thread(
-            target=save_torch_model, args=(params, cfg, path), daemon=True)
+        # write-to-tmp + atomic replace, on a NON-daemon thread: an
+        # interpreter exit mid-export then finishes the write instead of
+        # killing it and leaving a truncated model.pth where the previous
+        # epoch's good export used to be
+        def _export():
+            tmp = path + ".tmp"
+            save_torch_model(params, cfg, tmp)
+            os.replace(tmp, path)
+
+        t = threading.Thread(target=_export)
         t.start()
         _export_threads.append(t)
         return

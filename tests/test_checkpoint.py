@@ -137,3 +137,21 @@ def test_loop_waits_for_pending_saves_before_donating(tmp_path, monkeypatch):
         else:
             assert waits > 0, events  # a train ran without a prior wait
             waits -= 1
+
+
+def test_async_meta_written_only_after_state_lands(tmp_path):
+    """meta.json present must imply state/ is complete: the async path
+    defers the meta sidecar to wait_for_pending_saves(), so a crash during
+    the in-flight save leaves a recognizably incomplete directory instead
+    of a valid-looking meta over a half-written state."""
+    from neurosync_trainer_lite_tpu.training.checkpoint import (
+        wait_for_pending_saves)
+
+    path = str(tmp_path / "ckpt")
+    state, _ = init_train_state(CFG, steps_per_epoch=10)
+    save_checkpoint(state, 1, 5, CFG, path, async_save=True)
+    assert not os.path.exists(os.path.join(path, "meta.json"))
+    wait_for_pending_saves()
+    assert os.path.exists(os.path.join(path, "meta.json"))
+    epoch, _, _ = load_checkpoint(path, CFG, steps_per_epoch=10)
+    assert epoch == 1
