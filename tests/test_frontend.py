@@ -157,3 +157,27 @@ def test_int16_entry_matches_host_normalized_float():
     f_f32, _ = extract_audio_features_jax(y, SR)
     np.testing.assert_array_equal(np.asarray(y_i16), y)
     np.testing.assert_allclose(f_i16, f_f32, rtol=1e-5, atol=1e-5)
+
+
+def test_bucketed_valid_length_extraction_matches_per_length():
+    """The traced-valid-length frontend (zero-padded power-of-two buckets,
+    ops/frontend.py:extract_features_valid) must reproduce the per-length
+    extraction on the valid rows — for BOTH framing parities (even frame
+    length sr=88200 and odd sr=44100), odd and even 120 fps frame counts,
+    and multiple buckets."""
+    from neurosync_trainer_lite_tpu.ops.frontend import (
+        extract_audio_features_bucketed,
+        extract_audio_features_jax,
+    )
+
+    rng = np.random.default_rng(17)
+    for sr in (88200, 44100):
+        for seconds in (1.7, 2.0, 2.35, 4.1):
+            y = (rng.standard_normal(int(sr * seconds)) * 0.4
+                 ).astype(np.float32)
+            bucketed = extract_audio_features_bucketed(y, sr,
+                                                       min_bucket=1 << 15)
+            plain, _ = extract_audio_features_jax(y, sr)
+            plain = np.asarray(plain)
+            assert bucketed.shape == plain.shape
+            np.testing.assert_allclose(bucketed, plain, atol=5e-6, rtol=1e-4)
