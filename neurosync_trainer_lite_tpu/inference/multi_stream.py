@@ -177,15 +177,18 @@ class MultiStreamer:
 
     # -- session lifecycle ---------------------------------------------------
 
-    def open(self) -> int:
-        """Allocate a session; returns its id."""
+    def open(self, *, smooth: bool = False) -> int:
+        """Allocate a session; returns its id. smooth=True applies the
+        reference API's pair-average smoothing to the live stream (one
+        frame of lookahead — inference/streaming.py:FrameAssembler)."""
         # cap at max_sessions, not the pow2 ring capacity rounded above it
         if not self._free_rows or len(self._sessions) >= self.max_sessions:
             raise RuntimeError(f"all {self.max_sessions} session slots busy")
         sid = self._next_id
         self._next_id += 1
-        self._sessions[sid] = _Session(row=self._free_rows.pop(),
-                                       asm=FrameAssembler(self.cfg))
+        self._sessions[sid] = _Session(
+            row=self._free_rows.pop(),
+            asm=FrameAssembler(self.cfg, smooth=smooth))
         return sid
 
     def close(self, sid: int) -> None:
@@ -377,6 +380,7 @@ class MultiStreamer:
                 break
         else:
             raise RuntimeError("flush did not converge")
+        st.asm.finish()
         return st.asm.frames_ready - before
 
     # -- warmup --------------------------------------------------------------

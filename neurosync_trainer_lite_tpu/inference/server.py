@@ -115,13 +115,18 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8):
             self._send(200, {"blendshapes": frames, "fps": cfg.frame_rate})
 
         def _post_session(self):
-            parts = self.path.strip("/").split("/")
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            parts = url.path.strip("/").split("/")
             ms = get_streamer()
             if parts == ["session", "open"]:
                 if self._read_body() is None:
                     return
+                smooth = parse_qs(url.query).get(
+                    "smooth", ["0"])[0] in ("1", "true")
                 try:
-                    self._send(200, {"session": ms.open()})
+                    self._send(200, {"session": ms.open(smooth=smooth)})
                 except RuntimeError as e:  # all slots busy
                     self._send(503, {"error": str(e)})
                 return

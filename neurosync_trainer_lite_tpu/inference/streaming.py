@@ -62,13 +62,19 @@ class FrameAssembler:
     renumbers after the owner drops m frames of audio from the front.
     """
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, *, smooth: bool = False):
         self.cfg = cfg
         self._features = np.zeros((0, cfg.input_dim), np.float32)
         self._base = 0                  # buffer-space row index of _features[0]
         self._pending: np.ndarray | None = None  # provisional tail frames
         self._emitted: list[np.ndarray] = []
         self._consumed = 0              # buffer-space rows already decoded
+        #: streaming pair-average smoothing (reference
+        #: generate_face_shapes.py:22-26): s[i] = (x[i] + x[i+1]) / 2, last
+        #: frame as-is — implemented with ONE frame of lookahead so the live
+        #: output equals smooth_by_averaging_pairs over the whole stream
+        self._smooth = smooth
+        self._smooth_hold: np.ndarray | None = None
 
     # -- feeding ------------------------------------------------------------
 
@@ -172,11 +178,24 @@ class FrameAssembler:
         self._emitted = []
         return out
 
+    def finish(self) -> None:
+        """End of stream: release the smoothing lookahead frame (the last
+        frame is emitted as-is, matching smooth_by_averaging_pairs)."""
+        if self._smooth_hold is not None:
+            self._emitted.append(self._smooth_hold)
+            self._smooth_hold = None
+
     def _finalize(self, frames: np.ndarray) -> None:
         if len(frames) == 0:
             return
         out = np.array(frames, np.float64)
         out[:, :61] /= BLENDSHAPE_SCALE  # LiveLink space (reference: audio_processing.py:102)
+        if self._smooth:
+            block = (out if self._smooth_hold is None
+                     else np.vstack([self._smooth_hold, out]))
+            self._emitted.append((block[:-1] + block[1:]) / 2.0)
+            self._smooth_hold = block[-1:]
+            return
         self._emitted.append(out)
 
 
@@ -198,7 +217,8 @@ class BlendshapeStreamer:
     #: immediately.
     FEATURE_QUANT_FRAMES = 0
 
-    def __init__(self, params, cfg: Config, *, extract_features=None):
+    def __init__(self, params, cfg: Config, *, extract_features=None,
+                 smooth: bool = False):
         from neurosync_trainer_lite_tpu.ops.frontend import (
             extract_audio_features_bucketed)
 
@@ -208,7 +228,7 @@ class BlendshapeStreamer:
         self._extract = extract_features or (
             lambda y: extract_audio_features_bucketed(y, cfg.sr))
         self._audio = np.zeros((0,), np.float32)      # buffered samples
-        self._asm = FrameAssembler(cfg)
+        self._asm = FrameAssembler(cfg, smooth=smooth)
         # one 60 fps output frame spans exactly frame_length samples when the
         # frontend's two 120 fps hops tile it (frame_length even, the default
         # sr=88200 → 1470); trimming relies on that alignment
@@ -297,6 +317,7 @@ class BlendshapeStreamer:
         """Finalize everything buffered (end of stream)."""
         self._refresh_features(final=True)
         self._drain(final=True)
+        self._asm.finish()
 
     # -- reading ------------------------------------------------------------
 

@@ -251,3 +251,28 @@ def test_open_caps_at_max_sessions_not_ring_capacity(setup):
         ms.open()
     with pytest.raises(RuntimeError):
         ms.open()
+
+
+def test_session_smoothing_matches_pair_average(setup):
+    """A smooth=True session equals smooth_by_averaging_pairs over the raw
+    session's frames — including through the HTTP open flag's semantics."""
+    from neurosync_trainer_lite_tpu.inference.api import (
+        smooth_by_averaging_pairs)
+
+    cfg, params = setup
+    rng = np.random.default_rng(12)
+    audio = (rng.standard_normal(cfg.sr * 4) * 0.4).astype(np.float32)
+    step = cfg.sr // 2
+
+    ms = _multi(params, cfg, max_sessions=2)
+    raw = ms.open()
+    smooth = ms.open(smooth=True)
+    for i in range(0, len(audio), step):
+        ms.push_audio(raw, audio[i: i + step])
+        ms.push_audio(smooth, audio[i: i + step])
+        ms.tick()
+    ms.flush(raw)
+    ms.flush(smooth)
+    np.testing.assert_allclose(
+        ms.pop_frames(smooth),
+        smooth_by_averaging_pairs(ms.pop_frames(raw)), atol=1e-12)

@@ -272,3 +272,34 @@ def test_warmup_precompiles_all_session_buckets():
     streamer.flush()
     assert streamer.pop_frames().shape[0] > 0
     assert fe._extract_valid_jit._cache_size() == after_warm
+
+
+def test_streaming_smoothing_matches_offline_pair_average(setup):
+    """smooth=True applies the reference API's pair-averaging to the live
+    stream with one frame of lookahead: identical pushes through a smooth
+    and a raw streamer must satisfy smooth == smooth_by_averaging_pairs(raw)
+    exactly (same decodes, same math, just streamed)."""
+    from neurosync_trainer_lite_tpu.inference.api import (
+        smooth_by_averaging_pairs)
+
+    cfg, params = setup
+    extract = _feature_oracle(cfg)
+    spf = cfg.sr // 60
+    audio = np.random.default_rng(11).standard_normal(90 * spf
+                                                      ).astype(np.float32)
+
+    raw = BlendshapeStreamer(params, cfg, extract_features=extract)
+    smooth = BlendshapeStreamer(params, cfg, extract_features=extract,
+                                smooth=True)
+    for i in range(0, len(audio), 11 * spf):
+        chunk = audio[i: i + 11 * spf]
+        raw.push_audio(chunk)
+        smooth.push_audio(chunk)
+        # lookahead: the smooth streamer may lag by exactly one frame
+        assert raw.frames_ready - smooth.frames_ready in (0, 1)
+    raw.flush()
+    smooth.flush()
+
+    np.testing.assert_allclose(
+        smooth.pop_frames(), smooth_by_averaging_pairs(raw.pop_frames()),
+        atol=1e-12)
