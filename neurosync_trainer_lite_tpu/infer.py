@@ -40,6 +40,11 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
     from neurosync_trainer_lite_tpu.inference.api import (
         generate_facial_data_from_bytes)
     from neurosync_trainer_lite_tpu.training.checkpoint import load_model

@@ -206,6 +206,11 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()  # warmup compiles persist across restarts
+
     from neurosync_trainer_lite_tpu.training.checkpoint import load_model
 
     cfg = Config()

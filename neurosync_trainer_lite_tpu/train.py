@@ -82,6 +82,11 @@ def main(argv=None) -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
     rank_flags = (args.num_processes is not None
                   or args.process_id is not None)
     if args.coordinator is not None:

@@ -147,3 +147,28 @@ def test_unused_reference_helper_surface():
                          22050)
     y, sr = load_audio_file_from_memory(wav, sr=22050)
     assert sr == 22050 and abs(np.abs(y).max() - 1.0) < 1e-6  # normalized
+
+
+def test_persistent_cache_helper(tmp_path, monkeypatch):
+    """enable_persistent_cache points JAX at a durable dir, honors the
+    NEUROSYNC_XLA_CACHE override and the off switch."""
+    import jax
+
+    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+        enable_persistent_cache)
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla")
+        assert enable_persistent_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+
+        env_d = str(tmp_path / "from_env")
+        monkeypatch.setenv("NEUROSYNC_XLA_CACHE", env_d)
+        assert enable_persistent_cache() == env_d
+
+        monkeypatch.setenv("NEUROSYNC_XLA_CACHE", "off")
+        assert enable_persistent_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
