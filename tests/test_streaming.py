@@ -303,3 +303,85 @@ def test_streaming_smoothing_matches_offline_pair_average(setup):
     np.testing.assert_allclose(
         smooth.pop_frames(), smooth_by_averaging_pairs(raw.pop_frames()),
         atol=1e-12)
+
+
+def test_frame_assembler_two_phase_matches_serial_oracle():
+    """Property test: plan()/windows()/apply() against a literal serial
+    reimplementation of the original drain loop (decode-then-blend one
+    window at a time), over randomized feature-arrival patterns, overlaps,
+    and final flushes. The decode is a deterministic stand-in so equality
+    is exact."""
+    from neurosync_trainer_lite_tpu.config import tiny_config
+    from neurosync_trainer_lite_tpu.inference.chunked import (
+        blend_chunks, pad_audio_chunk)
+    from neurosync_trainer_lite_tpu.inference.streaming import FrameAssembler
+    from neurosync_trainer_lite_tpu.data.processing import BLENDSHAPE_SCALE
+
+    rng = np.random.default_rng(21)
+
+    def fake_decode(window):  # deterministic [take, out] "model"
+        w = window @ np.linspace(0.1, 1.0, window.shape[1])[:, None]
+        return np.repeat(w, 61, axis=1) * 0.01
+
+    for trial in range(8):
+        frame_len = int(rng.integers(6, 20))
+        overlap = int(rng.integers(0, frame_len - 1))
+        cfg = tiny_config(frame_size=frame_len, overlap=overlap,
+                          input_dim=5, output_dim=61)
+        total = int(rng.integers(frame_len, 150))
+        feats = rng.standard_normal((total, 5)).astype(np.float32)
+
+        # serial oracle: original one-window-at-a-time loop
+        pending, emitted, consumed = None, [], 0
+
+        def finalize(frames):
+            if len(frames):
+                out = np.array(frames, np.float64)
+                out[:, :61] /= BLENDSHAPE_SCALE
+                emitted.append(out)
+
+        def serial_drain(n_feat, final):
+            nonlocal pending, consumed
+            while True:
+                avail = n_feat - consumed
+                if avail <= 0 or (avail < frame_len and not final):
+                    break
+                take = min(frame_len, avail)
+                window = feats[consumed: consumed + take]
+                dec = fake_decode(
+                    pad_audio_chunk(window, frame_len, 5))[:take]
+                merged = dec if pending is None else blend_chunks(
+                    pending, dec, overlap)
+                if final and take >= avail:
+                    finalize(merged)
+                    pending = None
+                    consumed += take
+                    break
+                hold = min(overlap, len(merged))
+                finalize(merged[: len(merged) - hold])
+                pending = merged[len(merged) - hold:]
+                consumed += take - hold
+
+        # assembler under test, fed the same random arrival pattern
+        asm = FrameAssembler(cfg)
+        n_seen = 0
+        while n_seen < total:
+            n_seen = min(total, n_seen + int(rng.integers(1, 40)))
+            asm.ingest(feats[:n_seen], base=0)
+            plans = asm.plan(final=False)
+            if plans:
+                decoded = np.stack([
+                    fake_decode(w) for w in asm.windows(plans)])
+                asm.apply(plans, decoded)
+            serial_drain(n_seen, final=False)
+        plans = asm.plan(final=True)
+        if plans:
+            decoded = np.stack([fake_decode(w) for w in asm.windows(plans)])
+            asm.apply(plans, decoded)
+        serial_drain(total, final=True)
+
+        got = asm.pop_frames()
+        want = (np.concatenate(emitted) if emitted
+                else np.zeros((0, 61)))
+        assert got.shape == want.shape, (trial, frame_len, overlap, total)
+        np.testing.assert_array_equal(got, want)
