@@ -311,7 +311,6 @@ def test_frame_assembler_two_phase_matches_serial_oracle():
     window at a time), over randomized feature-arrival patterns, overlaps,
     and final flushes. The decode is a deterministic stand-in so equality
     is exact."""
-    from neurosync_trainer_lite_tpu.config import tiny_config
     from neurosync_trainer_lite_tpu.inference.chunked import (
         blend_chunks, pad_audio_chunk)
     from neurosync_trainer_lite_tpu.inference.streaming import FrameAssembler
@@ -325,10 +324,10 @@ def test_frame_assembler_two_phase_matches_serial_oracle():
 
     for trial in range(8):
         frame_len = int(rng.integers(6, 20))
-        overlap = int(rng.integers(0, frame_len - 1))
+        overlap = int(rng.integers(0, frame_len))  # incl. the frame_len-1 boundary
         cfg = tiny_config(frame_size=frame_len, overlap=overlap,
                           input_dim=5, output_dim=61)
-        total = int(rng.integers(frame_len, 150))
+        total = int(rng.integers(1, 150))  # incl. sub-frame-length clips
         feats = rng.standard_normal((total, 5)).astype(np.float32)
 
         # serial oracle: original one-window-at-a-time loop
