@@ -64,16 +64,19 @@ from neurosync_trainer_lite_tpu.ops.frontend import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "f_win"),
+@functools.partial(jax.jit, static_argnames=("sr", "f_win", "feat_dtype"),
                    donate_argnums=(0,))
 def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
-                  sr: int, f_win: int):
+                  sr: int, f_win: int, feat_dtype=jnp.float32):
     """One serving tick over the gathered session rows.
 
     buf: [K_cap, S] device rings (donated); idx: [K] row ids;
     new: [K, P] new samples (zero beyond new_len); shift/buf_len/new_len/
     feat_start: [K] i32. Returns (updated buf, [K, f_win, n_features]
-    feature windows starting at feat_start).
+    feature windows starting at feat_start, downloaded as feat_dtype —
+    bf16 when the model computes in bf16: the decode's first op casts its
+    input to bf16 anyway, so the rounded download decodes BIT-identically
+    while halving the dominant per-tick transfer).
     """
     S = buf.shape[1]
 
@@ -99,7 +102,7 @@ def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
         total = bl + nl
         feats = extract_features_valid(b, total, sr)      # [T60_cap, 256]
         win = jax.lax.dynamic_slice(feats, (fs, 0), (f_win, feats.shape[1]))
-        return b, win
+        return b, win.astype(feat_dtype)
 
     # padding rows carry idx == K_cap (out of range): the gather clamps to
     # the last row (harmless read) and the scatter DROPS the write — they
@@ -170,6 +173,9 @@ class MultiStreamer:
 
         kcap = pow2_bucket(max_sessions)
         self._kcap = kcap
+        # bf16 feature download when the model computes bf16 (bit-identical
+        # decode, half the bytes of the dominant per-tick transfer)
+        self._feat_dtype = jnp.bfloat16 if cfg.use_amp else jnp.float32
         self._buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
         self._free_rows = list(range(kcap - 1, -1, -1))
         self._sessions: dict[int, _Session] = {}
@@ -319,7 +325,8 @@ class MultiStreamer:
                 self._buf, jnp.asarray(idx), jnp.asarray(new),
                 jnp.asarray(shift), jnp.asarray(buf_len),
                 jnp.asarray(new_len), jnp.asarray(feat_start),
-                sr=self.cfg.sr, f_win=self.f_win)
+                sr=self.cfg.sr, f_win=self.f_win,
+                feat_dtype=self._feat_dtype)
             wins = np.asarray(wins)
         except Exception as e:
             if not _retry:
@@ -405,7 +412,8 @@ class MultiStreamer:
                     jnp.zeros(k, jnp.int32),
                     jnp.full(k, self.push_capacity, jnp.int32),
                     jnp.zeros(k, jnp.int32),
-                    sr=self.cfg.sr, f_win=self.f_win)
+                    sr=self.cfg.sr, f_win=self.f_win,
+                    feat_dtype=self._feat_dtype)
                 n += 1
             k *= 2
         cfg = self.cfg

@@ -276,3 +276,30 @@ def test_session_smoothing_matches_pair_average(setup):
     np.testing.assert_allclose(
         ms.pop_frames(smooth),
         smooth_by_averaging_pairs(ms.pop_frames(raw)), atol=1e-12)
+
+
+def test_bf16_feature_download_is_decode_identical():
+    """With a bf16-compute model the tick downloads features as bf16 (half
+    the dominant transfer). The decode casts its input to bf16 anyway, so
+    bf16(f32(bf16(x))) == bf16(x): a session must match a single
+    BlendshapeStreamer (fp32 feature path) to the usual tolerance."""
+    cfg = tiny_config(hidden_dim=32, n_layers=1, num_heads=2, use_amp=True)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal(cfg.sr * 4) * 0.4).astype(np.float32)
+    step = cfg.sr // 2
+
+    ms = _multi(params, cfg, max_sessions=2)
+    import jax.numpy as jnp
+    assert ms._feat_dtype == jnp.bfloat16
+    sid = ms.open()
+    single = _single(params, cfg)
+    for i in range(0, len(audio), step):
+        ms.push_audio(sid, audio[i: i + step])
+        single.push_audio(audio[i: i + step])
+        ms.tick()
+    ms.flush(sid)
+    single.flush()
+    got, want = ms.pop_frames(sid), single.pop_frames()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
