@@ -64,6 +64,47 @@ def bench_inference():
     }))
 
 
+def bench_stream():
+    """--mode stream: K=4 concurrent live sessions through MultiStreamer
+    (BASELINE config #5: real-time 60 fps streaming), int16 pushes at 0.5 s
+    cadence. Baseline = the 500 ms per-push latency budget; vs_baseline is
+    budget/p95 (>1 means every push cadence is met with headroom)."""
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.config import Config
+    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
+    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+
+    cfg = Config(dropout=0.0)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    K, push_s, seconds = 4, 0.5, 20
+    push = int(cfg.sr * push_s)
+
+    ms = MultiStreamer(params, cfg, max_sessions=K)
+    ms.warmup()
+    audios = [(rng.standard_normal(cfg.sr * seconds) * 8000).astype(np.int16)
+              for _ in range(K)]
+    sids = [ms.open() for _ in range(K)]
+    lat = []
+    for r in range(int(seconds / push_s)):
+        t0 = time.perf_counter()
+        for sid, a in zip(sids, audios):
+            ms.push_audio(sid, a[r * push:(r + 1) * push])
+        ms.tick()
+        lat.append(time.perf_counter() - t0)
+    for sid in sids:
+        ms.flush(sid)
+        assert ms.pop_frames(sid).shape[0] > 0
+        ms.close(sid)
+    p95 = float(np.percentile(np.array(lat) * 1e3, 95))
+    print(json.dumps({
+        "metric": f"live_stream_tick_p95_ms_k{K}",
+        "value": round(p95, 1), "unit": "ms",
+        "vs_baseline": round(500.0 / p95, 2),  # 500 ms push budget
+    }))
+
+
 def bench_frontend():
     """--mode frontend: device feature-extraction throughput in audio-seconds
     processed per second (BASELINE config #3's hot half). Input is int16 PCM
@@ -153,6 +194,6 @@ if __name__ == "__main__":
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
         {"train": main, "infer": bench_inference,
-         "frontend": bench_frontend}[mode]()
+         "frontend": bench_frontend, "stream": bench_stream}[mode]()
     else:
         main()
