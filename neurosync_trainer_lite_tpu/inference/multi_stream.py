@@ -112,6 +112,50 @@ def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
     return buf.at[idx].set(rows, mode="drop"), wins
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "cfg"),
+                   donate_argnums=(1,))
+def _tick_fused(params, buf, idx, new, shift, buf_len, new_len,
+                win_start, win_take, *, sr: int, cfg):
+    """v2 serving tick: ring update → frontend → traced-window gather →
+    batched decode, ONE program — no feature download and no second
+    dispatch (the decode rides the same round-trip). win_start/win_take:
+    [K] i32 single-window plans computed host-side pre-tick; take == 0
+    rows decode garbage the host discards. Returns (buf, [K, frame, 61]
+    fp32 decoded windows)."""
+    from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
+
+    S = buf.shape[1]
+    frame_len = cfg.frame_size
+
+    def one(b, nw, sh, bl, nl, ws, wt):
+        b = jnp.roll(b, -sh)
+        bl = bl - sh
+        pos = jnp.arange(S)
+        b = jnp.where(pos < bl, b, 0.0)
+        if nw.dtype == jnp.int16:
+            nw = nw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        nw_full = jnp.roll(jnp.concatenate([nw, jnp.zeros(S - nw.shape[0],
+                                                          nw.dtype)]), bl)
+        b = b + nw_full
+        total = bl + nl
+        feats = extract_features_valid(b, total, sr)      # [T60_cap, 256]
+        # reflect-padded window at traced (start, take): row j maps to
+        # min(m, p-m), m = j mod p, p = 2(take-1) — numpy's multi-
+        # reflection rule, matching pad_audio_chunk bit-for-bit (short
+        # takes reflect repeatedly, take==1 repeats the single row)
+        j = jnp.arange(frame_len)
+        p = jnp.maximum(2 * (wt - 1), 1)
+        m = j % p
+        rel = jnp.minimum(m, p - m)
+        return b, feats[ws + rel]                         # [frame, 256]
+
+    rows, wins = jax.vmap(one)(buf[jnp.clip(idx, 0, buf.shape[0] - 1)],
+                               new, shift, buf_len, new_len,
+                               win_start, win_take)
+    decoded = seq2seq_apply(params, wins, cfg)
+    return buf.at[idx].set(rows, mode="drop"), decoded.astype(jnp.float32)
+
+
 @dataclass
 class _Session:
     row: int                      # ring row in the device buffer
@@ -141,12 +185,20 @@ class MultiStreamer:
 
     def __init__(self, params, cfg: Config, *, max_sessions: int = 8,
                  f_win: int = 256, trim_threshold: int = 256,
-                 trim_margin: int = 64, max_buffer_seconds: float | None = None):
+                 trim_margin: int = 64, max_buffer_seconds: float | None = None,
+                 fused_decode: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_sessions = max_sessions
         self.trim_threshold = trim_threshold
         self.trim_margin = trim_margin
+        #: fused tick (default): window gather + decode run INSIDE the tick
+        #: program — one dispatch and no feature download per tick, at most
+        #: one decoded window per session per tick (catch-up spreads over
+        #: ticks). fused_decode=False keeps the two-dispatch path
+        #: (feature-window download + separate cross-session batched decode,
+        #: multiple windows per tick).
+        self.fused = fused_decode
 
         self._frame_samples = int(0.01667 * cfg.sr)
         if self._frame_samples % 2:
@@ -283,7 +335,10 @@ class MultiStreamer:
         buf_len = np.zeros(k, np.int32)
         new_len = np.zeros(k, np.int32)
         feat_start = np.zeros(k, np.int32)
+        win_start = np.zeros(k, np.int32)
+        win_take = np.zeros(k, np.int32)
         offsets, takes = [], []
+        fused_plans: dict[int, tuple] = {}
 
         for i, (sid, st) in enumerate(work):
             # trim first (frees intake room; renumbers the assembler)
@@ -319,15 +374,34 @@ class MultiStreamer:
                 if taken.dtype == np.int16:
                     taken = taken.astype(np.float32) / 32768.0
                 st.shadow = np.concatenate([st.shadow[sh:], taken])
+            if self.fused:
+                # single-window plan from post-intake state, decoded ON
+                # DEVICE this tick (the assembler holds no features)
+                t60_new = self._t60_valid(st.buf_len - sh + take)
+                plan = st.asm.plan_next(
+                    t60_new, final=(sid in final_ids and not st.pending))
+                if plan is not None:
+                    win_start[i], win_take[i] = plan[0], plan[1]
+                    fused_plans[sid] = plan
 
+        before = {sid: st.asm.frames_ready for sid, st in work}
         try:
-            self._buf, wins = _tick_program(
-                self._buf, jnp.asarray(idx), jnp.asarray(new),
-                jnp.asarray(shift), jnp.asarray(buf_len),
-                jnp.asarray(new_len), jnp.asarray(feat_start),
-                sr=self.cfg.sr, f_win=self.f_win,
-                feat_dtype=self._feat_dtype)
-            wins = np.asarray(wins)
+            if self.fused:
+                self._buf, decoded = _tick_fused(
+                    self.params, self._buf, jnp.asarray(idx),
+                    jnp.asarray(new), jnp.asarray(shift),
+                    jnp.asarray(buf_len), jnp.asarray(new_len),
+                    jnp.asarray(win_start), jnp.asarray(win_take),
+                    sr=self.cfg.sr, cfg=self.cfg)
+                decoded = np.asarray(decoded, dtype=np.float64)
+            else:
+                self._buf, wins = _tick_program(
+                    self._buf, jnp.asarray(idx), jnp.asarray(new),
+                    jnp.asarray(shift), jnp.asarray(buf_len),
+                    jnp.asarray(new_len), jnp.asarray(feat_start),
+                    sr=self.cfg.sr, f_win=self.f_win,
+                    feat_dtype=self._feat_dtype)
+                wins = np.asarray(wins)
         except Exception as e:
             if not _retry:
                 raise
@@ -336,9 +410,18 @@ class MultiStreamer:
             self._recover_rings()
             return self.tick(final_ids=final_ids, _retry=False)
 
-        # ingest + plan per session, then ONE cross-session batched decode
+        if self.fused:
+            for i, (sid, st) in enumerate(work):
+                st.buf_len = int(buf_len[i]) - int(shift[i]) + takes[i]
+                plan = fused_plans.get(sid)
+                if plan is not None:
+                    st.asm.apply([plan], decoded[i][None])
+            return {sid: st.asm.frames_ready - before[sid]
+                    for sid, st in work}
+
+        # unfused: ingest the feature windows + plan per session, then ONE
+        # cross-session batched decode
         all_windows, plan_of = [], []
-        before = {sid: st.asm.frames_ready for sid, st in work}
         for i, (sid, st) in enumerate(work):
             st.buf_len = int(buf_len[i]) - int(shift[i]) + takes[i]
             t60 = self._t60_valid(st.buf_len)
@@ -394,8 +477,9 @@ class MultiStreamer:
 
     def warmup(self) -> int:
         """Pre-compile every program a deployment can touch: the tick
-        program at each active-session bucket and the decode program at each
-        window bucket. Returns the number of programs compiled."""
+        program at each active-session bucket (× both push dtypes), and —
+        unfused mode only — the decode program at each window bucket.
+        Returns the number of programs compiled."""
         rng = np.random.default_rng(0)
         kcap = self._kcap
         n = 0
@@ -406,16 +490,29 @@ class MultiStreamer:
             for new in (np.asarray(noise * 0.1, np.float32),
                         np.asarray(noise * 3000, np.int16)):
                 buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
-                _tick_program(
-                    buf, jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
-                    jnp.zeros(k, jnp.int32),
-                    jnp.zeros(k, jnp.int32),
-                    jnp.full(k, self.push_capacity, jnp.int32),
-                    jnp.zeros(k, jnp.int32),
-                    sr=self.cfg.sr, f_win=self.f_win,
-                    feat_dtype=self._feat_dtype)
+                if self.fused:
+                    _tick_fused(
+                        self.params, buf, jnp.arange(k, dtype=jnp.int32),
+                        jnp.asarray(new), jnp.zeros(k, jnp.int32),
+                        jnp.zeros(k, jnp.int32),
+                        jnp.full(k, self.push_capacity, jnp.int32),
+                        jnp.zeros(k, jnp.int32),
+                        jnp.full(k, self.cfg.frame_size, jnp.int32),
+                        sr=self.cfg.sr, cfg=self.cfg)
+                else:
+                    _tick_program(
+                        buf, jnp.arange(k, dtype=jnp.int32),
+                        jnp.asarray(new),
+                        jnp.zeros(k, jnp.int32),
+                        jnp.zeros(k, jnp.int32),
+                        jnp.full(k, self.push_capacity, jnp.int32),
+                        jnp.zeros(k, jnp.int32),
+                        sr=self.cfg.sr, f_win=self.f_win,
+                        feat_dtype=self._feat_dtype)
                 n += 1
             k *= 2
+        if self.fused:
+            return n  # the decode rides inside the fused tick
         cfg = self.cfg
         # worst case per session per tick: a full f_win backlog during a
         # flush plans ceil((f_win - overlap) / stride) windows plus the

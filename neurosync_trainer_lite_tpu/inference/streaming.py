@@ -135,6 +135,26 @@ class FrameAssembler:
             pend = hold
         return plans
 
+    def plan_next(self, n_feat_total: int, *,
+                  final: bool) -> tuple[int, int, int, bool] | None:
+        """The SINGLE next window (start, take, hold, is_final_tail) given a
+        total feature-row count that need not be ingested — the fused-tick
+        path (inference/multi_stream.py) decodes windows on device, so the
+        assembler never holds features there. Same arithmetic as plan()'s
+        first iteration."""
+        cfg = self.cfg
+        frame_len, overlap = cfg.frame_size, cfg.overlap
+        avail = n_feat_total - self._consumed
+        if avail <= 0 or (avail < frame_len and not final):
+            return None
+        take = min(frame_len, avail)
+        pend = 0 if self._pending is None else len(self._pending)
+        merged_len = (take if pend == 0
+                      else pend + take - min(overlap, pend, take))
+        if final and take >= avail:
+            return (self._consumed, take, 0, True)
+        return (self._consumed, take, min(overlap, merged_len), False)
+
     def windows(self, plans) -> np.ndarray:
         """[N, frame_size, input_dim] reflect-padded decode inputs."""
         cfg = self.cfg

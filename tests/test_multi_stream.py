@@ -34,18 +34,20 @@ def _multi(params, cfg, **kw):
     return MultiStreamer(params, cfg, **kw)
 
 
-def test_multi_matches_independent_single_streamers(setup):
+@pytest.mark.parametrize("fused", [True, False])
+def test_multi_matches_independent_single_streamers(setup, fused):
     """K batched sessions must produce what K independent BlendshapeStreamers
     produce from the same pushes at the same cadence (identical buffer
     contents at every extraction → near-identical features/frames; tolerance
-    covers the different pad-bucket reduction orders)."""
+    covers the different pad-bucket reduction orders) — in BOTH tick modes
+    (fused on-device window decode and the two-dispatch path)."""
     cfg, params = setup
     rng = np.random.default_rng(1)
     seconds = [5.0, 6.0, 4.2]
     audios = [(rng.standard_normal(int(cfg.sr * s)) * 0.4).astype(np.float32)
               for s in seconds]
 
-    ms = _multi(params, cfg, max_sessions=4)
+    ms = _multi(params, cfg, max_sessions=4, fused_decode=fused)
     sids = [ms.open() for _ in audios]
     singles = [_single(params, cfg) for _ in audios]
 
@@ -107,15 +109,18 @@ def test_session_rows_are_isolated_and_reused(setup):
                                atol=2e-4, rtol=2e-3)
 
 
-def test_oversized_push_backpressures_and_catches_up(setup):
+@pytest.mark.parametrize("fused", [True, False])
+def test_oversized_push_backpressures_and_catches_up(setup, fused):
     """A push far beyond the per-tick intake capacity spills to the host
     queue and drains over ticks; the final output equals a single streamer
-    fed the same audio in capacity-sized pushes (identical buffer windows)."""
+    fed the same audio in capacity-sized pushes (identical buffer windows).
+    The fused tick consumes at most one window per tick, so catch-up takes
+    more ticks — the final output must still match."""
     cfg, params = setup
     rng = np.random.default_rng(3)
     audio = (rng.standard_normal(cfg.sr * 12) * 0.4).astype(np.float32)
 
-    ms = _multi(params, cfg, max_sessions=2)
+    ms = _multi(params, cfg, max_sessions=2, fused_decode=fused)
     sid = ms.open()
     ms.push_audio(sid, audio)           # ~12 s at once; capacity ≈ 1.5 s
     assert len(audio) > ms.push_capacity
@@ -141,17 +146,19 @@ def test_oversized_push_backpressures_and_catches_up(setup):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
-def test_tick_program_cache_bounded_and_warmup_covers_it(setup):
+@pytest.mark.parametrize("fused", [True, False])
+def test_tick_program_cache_bounded_and_warmup_covers_it(setup, fused):
     """The tick program compiles per active-session bucket only; warmup()
-    pre-walks every bucket — including the decode buckets that flush-tail
-    multi-window plans hit — so live ticks never compile."""
+    pre-walks every bucket — including, in unfused mode, the decode buckets
+    that flush-tail multi-window plans hit — so live ticks never compile."""
     from neurosync_trainer_lite_tpu.inference import multi_stream as M
     from neurosync_trainer_lite_tpu.inference.chunked import _decode_fn
 
     cfg, params = setup
-    ms = _multi(params, cfg, max_sessions=4)
+    ms = _multi(params, cfg, max_sessions=4, fused_decode=fused)
     ms.warmup()
-    after_warm = M._tick_program._cache_size()
+    prog = M._tick_fused if fused else M._tick_program
+    after_warm = prog._cache_size()
     decode_after_warm = _decode_fn(cfg)._cache_size()
 
     rng = np.random.default_rng(4)
@@ -165,7 +172,7 @@ def test_tick_program_cache_bounded_and_warmup_covers_it(setup):
     for sid in sids:
         ms.flush(sid)
         assert ms.pop_frames(sid).shape[1] == cfg.output_dim
-    assert M._tick_program._cache_size() == after_warm
+    assert prog._cache_size() == after_warm
     assert _decode_fn(cfg)._cache_size() == decode_after_warm
 
 
@@ -181,7 +188,7 @@ def test_device_fault_recovers_from_host_shadows(setup, monkeypatch):
     step = cfg.sr // 2
 
     def run(fail_at=None):
-        real = M._tick_program
+        real = M._tick_fused   # the default (fused) tick program
         calls = {"n": 0}
 
         def flaky(*a, **k):
@@ -191,7 +198,7 @@ def test_device_fault_recovers_from_host_shadows(setup, monkeypatch):
             return real(*a, **k)
 
         if fail_at is not None:
-            monkeypatch.setattr(M, "_tick_program", flaky)
+            monkeypatch.setattr(M, "_tick_fused", flaky)
         try:
             ms = _multi(params, cfg, max_sessions=2)
             sid = ms.open()
@@ -201,7 +208,7 @@ def test_device_fault_recovers_from_host_shadows(setup, monkeypatch):
             ms.flush(sid)
             return ms.pop_frames(sid)
         finally:
-            monkeypatch.setattr(M, "_tick_program", real)
+            monkeypatch.setattr(M, "_tick_fused", real)
 
     want = run()
     got = run(fail_at=5)  # mid-stream, after frames have been emitted
