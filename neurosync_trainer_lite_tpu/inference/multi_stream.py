@@ -64,6 +64,43 @@ from neurosync_trainer_lite_tpu.ops.frontend import (
 )
 
 
+
+def _ring_update(b, nw, sh, bl, nl):
+    """Shared per-row ring update for every tick variant: trim-shift, clear
+    rolled-in garbage, widen int16 pushes, clamp-free roll-append.
+    Returns (buffer, total valid samples). The subtle invariants live HERE
+    only: the /32768 widening is a power-of-two multiply (exact in fp32,
+    matching the device pipeline's capture-format path), and the append
+    places the new chunk via roll — a dynamic_update_slice would clip its
+    start near the ring end and overwrite valid audio; everything beyond nl
+    in nw is zero and the host guarantees bl + nl <= S_avail, so any
+    wrapped tail is zeros landing on zeros."""
+    S = b.shape[0]
+    b = jnp.roll(b, -sh)
+    bl = bl - sh
+    b = jnp.where(jnp.arange(S) < bl, b, 0.0)
+    if nw.dtype == jnp.int16:
+        nw = nw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    nw_full = jnp.roll(jnp.concatenate([nw, jnp.zeros(S - nw.shape[0],
+                                                      nw.dtype)]), bl)
+    return b + nw_full, bl + nl
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tick_ring_only(buf, idx, new, shift, buf_len, new_len):
+    """Intake-only tick: update the rings, extract/decode nothing. Used on
+    the (majority of) fused-mode ticks where no session has a window ready
+    — a window only completes every ~1.9 s of audio, so decoding garbage on
+    every push tick would waste MXU time and download bytes."""
+    def one(b, nw, sh, bl, nl):
+        b, _ = _ring_update(b, nw, sh, bl, nl)
+        return b
+
+    rows = jax.vmap(one)(buf[jnp.clip(idx, 0, buf.shape[0] - 1)],
+                         new, shift, buf_len, new_len)
+    return buf.at[idx].set(rows, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "f_win", "feat_dtype"),
                    donate_argnums=(0,))
 def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
@@ -78,28 +115,8 @@ def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
     input to bf16 anyway, so the rounded download decodes BIT-identically
     while halving the dominant per-tick transfer).
     """
-    S = buf.shape[1]
-
     def one(b, nw, sh, bl, nl, fs):
-        # trim: drop sh samples from the front, clear the rolled-in garbage
-        b = jnp.roll(b, -sh)
-        bl = bl - sh
-        pos = jnp.arange(S)
-        b = jnp.where(pos < bl, b, 0.0)
-        # int16 PCM pushes upload half the bytes; the /32768 widening is a
-        # power-of-two multiply — exact in fp32, same rule as the device
-        # pipeline's capture-format path (inference/device_pipeline.py)
-        if nw.dtype == jnp.int16:
-            nw = nw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-        # append: place the new chunk at bl via roll (clamp-free — a
-        # dynamic_update_slice would clip its start near the ring end and
-        # overwrite valid audio); everything beyond nl in nw is zero, and
-        # the host guarantees bl + nl <= S_avail, so any wrapped tail is
-        # zeros landing on zeros
-        nw_full = jnp.roll(jnp.concatenate([nw, jnp.zeros(S - nw.shape[0],
-                                                          nw.dtype)]), bl)
-        b = b + nw_full
-        total = bl + nl
+        b, total = _ring_update(b, nw, sh, bl, nl)
         feats = extract_features_valid(b, total, sr)      # [T60_cap, 256]
         win = jax.lax.dynamic_slice(feats, (fs, 0), (f_win, feats.shape[1]))
         return b, win.astype(feat_dtype)
@@ -124,20 +141,10 @@ def _tick_fused(params, buf, idx, new, shift, buf_len, new_len,
     fp32 decoded windows)."""
     from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
 
-    S = buf.shape[1]
     frame_len = cfg.frame_size
 
     def one(b, nw, sh, bl, nl, ws, wt):
-        b = jnp.roll(b, -sh)
-        bl = bl - sh
-        pos = jnp.arange(S)
-        b = jnp.where(pos < bl, b, 0.0)
-        if nw.dtype == jnp.int16:
-            nw = nw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-        nw_full = jnp.roll(jnp.concatenate([nw, jnp.zeros(S - nw.shape[0],
-                                                          nw.dtype)]), bl)
-        b = b + nw_full
-        total = bl + nl
+        b, total = _ring_update(b, nw, sh, bl, nl)
         feats = extract_features_valid(b, total, sr)      # [T60_cap, 256]
         # reflect-padded window at traced (start, take): row j maps to
         # min(m, p-m), m = j mod p, p = 2(take-1) — numpy's multi-
@@ -386,7 +393,16 @@ class MultiStreamer:
 
         before = {sid: st.asm.frames_ready for sid, st in work}
         try:
-            if self.fused:
+            if self.fused and not fused_plans:
+                # intake-only tick (the common case at live cadence: a
+                # window completes only every ~1.9 s of audio) — update the
+                # rings, skip the frontend+decode entirely
+                self._buf = _tick_ring_only(
+                    self._buf, jnp.asarray(idx), jnp.asarray(new),
+                    jnp.asarray(shift), jnp.asarray(buf_len),
+                    jnp.asarray(new_len))
+                decoded = None
+            elif self.fused:
                 self._buf, decoded = _tick_fused(
                     self.params, self._buf, jnp.asarray(idx),
                     jnp.asarray(new), jnp.asarray(shift),
@@ -499,6 +515,13 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.cfg.frame_size, jnp.int32),
                         sr=self.cfg.sr, cfg=self.cfg)
+                    # intake-only variant (most live ticks decode nothing)
+                    _tick_ring_only(
+                        jnp.zeros((kcap, self._s_cap), jnp.float32),
+                        jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
+                        jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
+                        jnp.full(k, self.push_capacity, jnp.int32))
+                    n += 1
                 else:
                     _tick_program(
                         buf, jnp.arange(k, dtype=jnp.int32),

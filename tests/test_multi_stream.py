@@ -296,7 +296,9 @@ def test_bf16_feature_download_is_decode_identical():
     audio = (rng.standard_normal(cfg.sr * 4) * 0.4).astype(np.float32)
     step = cfg.sr // 2
 
-    ms = _multi(params, cfg, max_sessions=2)
+    # the bf16 download exists only on the two-dispatch path — fused ticks
+    # never download features at all
+    ms = _multi(params, cfg, max_sessions=2, fused_decode=False)
     import jax.numpy as jnp
     assert ms._feat_dtype == jnp.bfloat16
     sid = ms.open()
@@ -310,3 +312,40 @@ def test_bf16_feature_download_is_decode_identical():
     got, want = ms.pop_frames(sid), single.pop_frames()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_intake_only_ticks_skip_decode(setup, monkeypatch):
+    """Most live ticks have no window ready; fused mode must route them
+    through the ring-update-only program (no frontend/decode) and still
+    produce identical final output."""
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
+
+    cfg, params = setup
+    rng = np.random.default_rng(14)
+    audio = (rng.standard_normal(cfg.sr * 5) * 0.4).astype(np.float32)
+    # tiny pushes: far fewer windows than ticks
+    step = cfg.sr // 4
+
+    calls = {"full": 0, "ring": 0}
+    real_fused, real_ring = M._tick_fused, M._tick_ring_only
+    monkeypatch.setattr(M, "_tick_fused", lambda *a, **k: (
+        calls.__setitem__("full", calls["full"] + 1), real_fused(*a, **k))[1])
+    monkeypatch.setattr(M, "_tick_ring_only", lambda *a, **k: (
+        calls.__setitem__("ring", calls["ring"] + 1), real_ring(*a, **k))[1])
+
+    ms = _multi(params, cfg, max_sessions=2)
+    sid = ms.open()
+    for i in range(0, len(audio), step):
+        ms.push_audio(sid, audio[i: i + step])
+        ms.tick()
+    ms.flush(sid)
+    got = ms.pop_frames(sid)
+
+    assert calls["ring"] > calls["full"] > 0, calls
+
+    single = _single(params, cfg)
+    single.push_audio(audio)
+    single.flush()
+    want = single.pop_frames()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
