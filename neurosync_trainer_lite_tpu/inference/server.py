@@ -43,7 +43,8 @@ from neurosync_trainer_lite_tpu.config import Config
 MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
-def make_handler(params, cfg: Config, *, max_sessions: int = 8):
+def make_handler(params, cfg: Config, *, max_sessions: int = 8,
+                 fused_ticks: bool = True):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -56,7 +57,8 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8):
             from neurosync_trainer_lite_tpu.inference.multi_stream import (
                 MultiStreamer)
             state["ms"] = MultiStreamer(params, cfg,
-                                        max_sessions=max_sessions)
+                                        max_sessions=max_sessions,
+                                        fused_decode=fused_ticks)
         return state["ms"]
 
     class Handler(BaseHTTPRequestHandler):
@@ -174,9 +176,11 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8):
 
 
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
-          *, server_class=HTTPServer, max_sessions: int = 8):
+          *, server_class=HTTPServer, max_sessions: int = 8,
+          fused_ticks: bool = True):
     httpd = server_class((host, port),
-                         make_handler(params, cfg, max_sessions=max_sessions))
+                         make_handler(params, cfg, max_sessions=max_sessions,
+                                      fused_ticks=fused_ticks))
     return httpd
 
 
@@ -200,6 +204,11 @@ def main(argv=None):
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip startup pre-compilation (first live "
                         "session then pays the XLA compiles)")
+    parser.add_argument("--two_dispatch_ticks", action="store_true",
+                        help="serve live sessions with the two-dispatch "
+                        "tick instead of the fused default: ~20% slower "
+                        "steady state, but no multi-minute stalls were "
+                        "ever observed on it (docs/PERF.md soak caveat)")
     args = parser.parse_args(argv)
 
     import jax
@@ -216,7 +225,8 @@ def main(argv=None):
     cfg = Config()
     params = load_model(args.model, cfg)
     httpd = serve(params, cfg, args.host, args.port,
-                  max_sessions=args.max_sessions)
+                  max_sessions=args.max_sessions,
+                  fused_ticks=not args.two_dispatch_ticks)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)
