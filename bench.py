@@ -165,6 +165,18 @@ def main():
     # large-HBM chip (v5p) the model benches without remat.
     from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
 
+    # diagnostic secondary FIRST (stderr, not the headline): dropout-free math
+    # (re-planned: the measured-fastest residency differs at dropout 0). The
+    # driver merges stdout+stderr and records the LAST JSON line, so the
+    # training-default headline must be printed last (VERDICT r2 weak #1).
+    d0 = _measure_train(_maybe_auto_remat(full_config(dropout=0.0), 1,
+                                          verbose=False))
+    print(json.dumps({
+        "metric": "228M_train_samples_per_sec_per_chip_dropout0",
+        "value": round(d0, 2), "unit": "samples/s",
+        "vs_baseline": round(d0 / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
+    }), file=sys.stderr)
+    sys.stderr.flush()
     cfg = _maybe_auto_remat(full_config(), 1, verbose=False)  # picks K=6
     samples_per_sec = _measure_train(cfg)
     print(json.dumps({
@@ -173,15 +185,6 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
     }))
-    # diagnostic secondary (stderr, not the headline): dropout-free math
-    # (re-planned: the measured-fastest residency differs at dropout 0)
-    d0 = _measure_train(_maybe_auto_remat(full_config(dropout=0.0), 1,
-                                          verbose=False))
-    print(json.dumps({
-        "metric": "228M_train_samples_per_sec_per_chip_dropout0",
-        "value": round(d0, 2), "unit": "samples/s",
-        "vs_baseline": round(d0 / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
-    }), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,21 @@ _device_pipeline_broken = False
 #: permanently downgrade the process to the 3x-slower host path
 _DEVICE_FAILURE_LIMIT = 2
 _device_failures = 0
+#: half-open: after the breaker trips, retry the device path once every N
+#: host-served requests — two transient faults in a row (the tunnel is
+#: documented as flappy) must not permanently downgrade a long-lived server
+#: to the 3x-slower host path (ADVICE r2)
+_RETRY_AFTER_N_REQUESTS = 50
+_requests_since_break = 0
+
+
+def reset_device_pipeline_breaker() -> None:
+    """Explicitly re-enable the device pipeline (e.g. from an operator
+    endpoint) without waiting out the half-open retry interval."""
+    global _device_pipeline_broken, _device_failures, _requests_since_break
+    _device_pipeline_broken = False
+    _device_failures = 0
+    _requests_since_break = 0
 
 
 def smooth_by_averaging_pairs(data: np.ndarray) -> np.ndarray:
@@ -47,7 +62,14 @@ def generate_facial_data_from_bytes(audio_bytes: bytes, params, cfg: Config,
     (inference/chunked.py). Both are equality-tested against each other
     (tests/test_device_pipeline.py).
     """
-    global _device_pipeline_broken, _device_failures
+    global _device_pipeline_broken, _device_failures, _requests_since_break
+    if pipeline == "device" and _device_pipeline_broken:
+        # half-open probe: periodically give the device path another chance
+        _requests_since_break += 1
+        if _requests_since_break >= _RETRY_AFTER_N_REQUESTS:
+            print("device-pipeline breaker half-open — retrying the device "
+                  "path on this request")
+            reset_device_pipeline_breaker()
     if pipeline == "device" and not _device_pipeline_broken:
         from neurosync_trainer_lite_tpu.inference import device_pipeline as dp
 

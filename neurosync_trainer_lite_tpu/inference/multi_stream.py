@@ -276,9 +276,15 @@ class MultiStreamer:
         int16 PCM (the LiveLink capture format) is kept as int16 and
         uploaded raw — half the bytes of fp32, widened exactly on device —
         whenever every session's queued audio that tick is int16; float
-        input is taken as already-normalized [-1, 1] samples."""
+        input is taken as already-normalized [-1, 1] samples; other integer
+        PCM (int32, uint8, ...) is widened by its dtype's full scale (a
+        silent float32 cast fed ±2^31-amplitude garbage — ADVICE r2)."""
         samples = np.asarray(samples)
-        if samples.dtype != np.int16:
+        if np.issubdtype(samples.dtype, np.integer) and \
+                samples.dtype != np.int16:
+            from neurosync_trainer_lite_tpu.ops.frontend import widen_int_pcm
+            samples = widen_int_pcm(samples)
+        elif samples.dtype != np.int16:
             samples = samples.astype(np.float32)
         samples = samples.reshape(-1)
         if samples.size:

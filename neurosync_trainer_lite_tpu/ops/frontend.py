@@ -405,6 +405,18 @@ def _extract_jit(y: jnp.ndarray, sr: int, normalize: bool = False) -> jnp.ndarra
         [_mfcc_69(y, sr, frame_length), _autocorr_187(y, frame_length)], axis=1)
 
 
+def widen_int_pcm(y: np.ndarray) -> np.ndarray:
+    """Integer PCM (other than int16, which has raw-upload fast paths) →
+    float32 in [-1, 1) by the dtype's full scale; unsigned PCM (e.g. uint8
+    WAV) is offset-binary and gets re-centered first. No peak normalization
+    — callers apply their own policy."""
+    info = np.iinfo(y.dtype)
+    if info.min == 0:
+        mid = (info.max + 1) / 2.0
+        return ((y.astype(np.float64) - mid) / mid).astype(np.float32)
+    return (y.astype(np.float64) / float(info.max + 1)).astype(np.float32)
+
+
 def extract_audio_features_jax(y, sr: int = 88200):
     """y (mono waveform) → (features[T60, 256], y), or (None, None) if the
     clip is shorter than 9 intermediate frames (reference: extract_features.py:14-20).
@@ -423,6 +435,14 @@ def extract_audio_features_jax(y, sr: int = 88200):
     num_frames = (y.shape[0] - frame_length) // hop + 1
     if num_frames < F.MIN_FRAMES:
         return None, None
+    if np.issubdtype(y.dtype, np.integer) and y.dtype != np.int16:
+        # widen by the dtype's full scale + peak-normalize (matching the
+        # int16 path's semantics) — a silent float32 cast of e.g. int32 PCM
+        # would feed ±2^31-amplitude garbage into the frontend (ADVICE r2)
+        y = widen_int_pcm(y)
+        peak = np.max(np.abs(y)) if y.size else 0.0
+        if peak > 0:
+            y = y / peak
     if y.dtype == np.int16:
         feats = _extract_jit(jnp.asarray(y), sr, normalize=True)
         y_f = y.astype(np.float32) / 32768.0

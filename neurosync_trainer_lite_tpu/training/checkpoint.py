@@ -36,6 +36,7 @@ _KEEP_BACKUPS = 5
 # plus background threads for the model.pth export
 _async_ckptr: ocp.AsyncCheckpointer | None = None
 _export_threads: list[threading.Thread] = []
+_export_errors: list[BaseException] = []
 _pending_meta: list[tuple[str, dict]] = []
 
 
@@ -70,6 +71,13 @@ def wait_for_pending_saves() -> None:
     for path, meta in _pending_meta:
         _write_meta(path, meta)
     _pending_meta.clear()
+    if _export_errors:
+        # a failed model.pth export (disk full, serialization error) must not
+        # pass silently — the per-epoch export would otherwise go stale with
+        # only a stderr excepthook trace as evidence (ADVICE r2)
+        err = _export_errors[0]
+        _export_errors.clear()
+        raise RuntimeError("async model.pth export failed") from err
 
 
 def _rotate_backups(checkpoint_path: str) -> None:
@@ -127,10 +135,40 @@ def save_checkpoint(state: TrainState, epoch: int, batch_step: int,
         _write_meta(path, meta)
 
 
+def _resolve_complete_checkpoint(path: str) -> str:
+    """Return a checkpoint dir that has meta.json — `path` itself, or the
+    newest complete backup_<ts>/ sibling.
+
+    A crash during an async save (whose meta write is deferred until the
+    state lands — see wait_for_pending_saves) leaves `path` meta-less AFTER
+    the previous good checkpoint was already rotated into backup_<ts>/;
+    without this fallback, resume would crash on exactly the failure
+    checkpointing exists to survive (ADVICE r2, medium)."""
+    if os.path.exists(os.path.join(path, _META_FILE)):
+        return path
+    parent = os.path.dirname(path) or "."
+    backups = sorted(
+        (d for d in os.listdir(parent) if d.startswith("backup_")),
+        key=lambda d: os.path.getmtime(os.path.join(parent, d)),
+        reverse=True,
+    ) if os.path.isdir(parent) else []
+    base = os.path.basename(path)
+    for b in backups:
+        cand = os.path.join(parent, b, base)
+        if os.path.exists(os.path.join(cand, _META_FILE)):
+            print(f"Checkpoint at {path} is incomplete (no {_META_FILE}; "
+                  f"likely a crash mid-async-save) — resuming from backup "
+                  f"{cand}")
+            return cand
+    raise FileNotFoundError(
+        f"No complete checkpoint: {path} lacks {_META_FILE} and no "
+        f"backup_* sibling contains one")
+
+
 def load_checkpoint(checkpoint_path: str, cfg: Config, steps_per_epoch: int,
                     shardings=None):
     """Returns (epoch, batch_step, TrainState)."""
-    path = os.path.abspath(checkpoint_path)
+    path = _resolve_complete_checkpoint(os.path.abspath(checkpoint_path))
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
 
@@ -165,9 +203,12 @@ def save_final_model(params, cfg: Config, final_model_path: str | None = None,
         # killing it and leaving a truncated model.pth where the previous
         # epoch's good export used to be
         def _export():
-            tmp = path + ".tmp"
-            save_torch_model(params, cfg, tmp)
-            os.replace(tmp, path)
+            try:
+                tmp = path + ".tmp"
+                save_torch_model(params, cfg, tmp)
+                os.replace(tmp, path)
+            except BaseException as e:  # re-raised by wait_for_pending_saves
+                _export_errors.append(e)
 
         t = threading.Thread(target=_export)
         t.start()

@@ -139,6 +139,54 @@ def test_loop_waits_for_pending_saves_before_donating(tmp_path, monkeypatch):
             waits -= 1
 
 
+def test_metaless_checkpoint_falls_back_to_newest_backup(tmp_path):
+    """A crash mid-async-save leaves the live dir meta-less AFTER the
+    previous good checkpoint was rotated into backup_<ts>/; resume must fall
+    back to that backup instead of raising (ADVICE r2, medium)."""
+    path = str(tmp_path / "ckpt" / "checkpoint")
+    state, _ = init_train_state(CFG, steps_per_epoch=10,
+                                rng=jax.random.PRNGKey(7))
+    save_checkpoint(state, epoch=4, batch_step=40, cfg=CFG,
+                    checkpoint_path=path)
+    save_checkpoint(state, epoch=5, batch_step=50, cfg=CFG,
+                    checkpoint_path=path)
+    # simulate the crash window: live checkpoint has state but no meta yet
+    os.remove(os.path.join(path, "meta.json"))
+    epoch, batch_step, restored = load_checkpoint(path, CFG,
+                                                  steps_per_epoch=10)
+    assert (epoch, batch_step) == (4, 40)
+    _trees_equal(state.params, restored.params)
+
+    # with no usable backup either, the error must say why
+    import shutil
+    parent = os.path.dirname(path)
+    for d in os.listdir(parent):
+        if d.startswith("backup_"):
+            shutil.rmtree(os.path.join(parent, d))
+    with pytest.raises(FileNotFoundError, match="meta"):
+        load_checkpoint(path, CFG, steps_per_epoch=10)
+
+
+def test_failed_async_export_raises_at_wait(tmp_path, monkeypatch):
+    """A model.pth export that dies in its background thread (disk full,
+    serialization error) must surface at wait_for_pending_saves(), not
+    vanish into the thread excepthook (ADVICE r2)."""
+    from neurosync_trainer_lite_tpu.training.checkpoint import (
+        wait_for_pending_saves)
+    from neurosync_trainer_lite_tpu.utils import torch_interop
+
+    monkeypatch.setattr(
+        torch_interop, "save_torch_model",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")))
+    state, _ = init_train_state(CFG, steps_per_epoch=10)
+    save_final_model(state.params, CFG, str(tmp_path / "model.pth"),
+                     async_save=True)
+    with pytest.raises(RuntimeError, match="export failed"):
+        wait_for_pending_saves()
+    # errors are cleared after raising; subsequent waits are clean
+    wait_for_pending_saves()
+
+
 def test_async_meta_written_only_after_state_lands(tmp_path):
     """meta.json present must imply state/ is complete: the async path
     defers the meta sidecar to wait_for_pending_saves(), so a crash during

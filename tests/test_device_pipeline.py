@@ -175,3 +175,66 @@ def test_transient_device_fault_does_not_trip_breaker(params, monkeypatch):
     finally:
         api._device_pipeline_broken = False
         api._device_failures = 0
+
+
+def test_tripped_breaker_half_opens_and_recovers(params, monkeypatch):
+    """A tripped breaker must not be permanent: after N host-served
+    requests it half-opens, retries the device path, and closes again on
+    success (ADVICE r2 — the tunnel is flappy; two transient faults in a
+    row shouldn't 3x-slow a long-lived server forever)."""
+    from neurosync_trainer_lite_tpu.inference import api
+
+    y = np.random.default_rng(5).standard_normal(CFG.sr * 3).astype(np.float32)
+    wav = audio_to_bytes(y * 0.3, CFG.sr)
+    monkeypatch.setattr(api, "_RETRY_AFTER_N_REQUESTS", 3)
+    api._device_pipeline_broken = True
+    api._device_failures = api._DEVICE_FAILURE_LIMIT
+    api._requests_since_break = 0
+    try:
+        for i in range(2):  # host-served, breaker still open
+            generate_facial_data_from_bytes(wav, params, CFG)
+            assert api._device_pipeline_broken
+        out = generate_facial_data_from_bytes(wav, params, CFG)  # half-open
+        assert len(out) > 0
+        assert not api._device_pipeline_broken  # device succeeded → closed
+        assert api._device_failures == 0
+    finally:
+        api.reset_device_pipeline_breaker()
+
+
+def test_non_int16_integer_pcm_is_full_scale_widened():
+    """int32/uint8 PCM must be widened by the dtype's full scale, not
+    silently cast to float32 at raw amplitude (ADVICE r2)."""
+    from neurosync_trainer_lite_tpu.ops.frontend import (
+        extract_audio_features_jax, widen_int_pcm)
+
+    rng = np.random.default_rng(6)
+    y16 = (rng.standard_normal(CFG.sr * 2) * 9000).astype(np.int16)
+    y32 = (y16.astype(np.int64) << 16).astype(np.int32)  # same signal, int32
+    np.testing.assert_allclose(widen_int_pcm(y32),
+                               y16.astype(np.float32) / 32768.0, atol=1e-7)
+    u8 = np.array([0, 128, 255], np.uint8)  # offset-binary full scale
+    np.testing.assert_allclose(widen_int_pcm(u8),
+                               [-1.0, 0.0, 127 / 128], atol=1e-7)
+
+    f16, _ = extract_audio_features_jax(y16, CFG.sr)
+    f32, _ = extract_audio_features_jax(y32, CFG.sr)
+    np.testing.assert_allclose(f32, f16, rtol=1e-3, atol=2e-3)
+
+
+def test_push_audio_widens_non_int16_integer_pcm():
+    """MultiStreamer.push_audio with int32 input must queue [-1,1] floats
+    equal to the widened int16 signal, not raw-amplitude casts."""
+    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
+
+    ms = MultiStreamer(None, CFG, max_sessions=1)
+    sid = ms.open()
+    rng = np.random.default_rng(7)
+    y16 = (rng.standard_normal(1000) * 9000).astype(np.int16)
+    y32 = (y16.astype(np.int64) << 16).astype(np.int32)
+    ms.push_audio(sid, y32)
+    queued = ms._sessions[sid].pending[-1]
+    assert queued.dtype == np.float32
+    np.testing.assert_allclose(queued, y16.astype(np.float32) / 32768.0,
+                               atol=1e-7)
+    ms.close(sid)
