@@ -100,6 +100,14 @@ class WindowedDataset:
                         shuffle=shuffle, seed=seed, drop_last=drop_last,
                         wrap=wrap)
 
+    def index_batches(self, batch_size: int, *, shuffle: bool = False,
+                      seed: int = 0, drop_last: bool = False,
+                      wrap: bool = False) -> Iterator[np.ndarray]:
+        """Same order as batches(), but yields base-index chunks ungathered."""
+        return _iter_index_chunks(np.arange(len(self)), batch_size,
+                                  shuffle=shuffle, seed=seed,
+                                  drop_last=drop_last, wrap=wrap)
+
 
 class _View:
     """An index-subset view over a WindowedDataset."""
@@ -122,9 +130,20 @@ class _View:
         return _iterate(self.base, self.idxs, batch_size, shuffle=shuffle,
                         seed=seed, drop_last=drop_last, wrap=wrap)
 
+    def index_batches(self, batch_size: int, *, shuffle: bool = False,
+                      seed: int = 0, drop_last: bool = False,
+                      wrap: bool = False) -> Iterator[np.ndarray]:
+        """Same order as batches(), but yields base-index chunks ungathered."""
+        return _iter_index_chunks(self.idxs, batch_size, shuffle=shuffle,
+                                  seed=seed, drop_last=drop_last, wrap=wrap)
 
-def _iterate(base: WindowedDataset, idxs: np.ndarray, batch_size: int, *,
-             shuffle: bool, seed: int, drop_last: bool, wrap: bool):
+
+def _iter_index_chunks(idxs: np.ndarray, batch_size: int, *,
+                       shuffle: bool, seed: int, drop_last: bool, wrap: bool
+                       ) -> Iterator[np.ndarray]:
+    """The batch ORDER logic, yielding base-index chunks without gathering —
+    multi-process feeding assembles only each process's addressable rows from
+    these chunks (parallel/distributed.py:assemble_sharded_batch)."""
     order = np.array(idxs)
     if shuffle:
         order = np.random.default_rng(seed).permutation(order)
@@ -141,6 +160,13 @@ def _iterate(base: WindowedDataset, idxs: np.ndarray, batch_size: int, *,
         chunk = order[i: i + batch_size]
         if drop_last and len(chunk) < batch_size:
             break
+        yield chunk
+
+
+def _iterate(base: WindowedDataset, idxs: np.ndarray, batch_size: int, *,
+             shuffle: bool, seed: int, drop_last: bool, wrap: bool):
+    for chunk in _iter_index_chunks(idxs, batch_size, shuffle=shuffle,
+                                    seed=seed, drop_last=drop_last, wrap=wrap):
         yield base.gather(chunk)
 
 

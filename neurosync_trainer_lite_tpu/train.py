@@ -47,6 +47,10 @@ def parse_config(argv=None) -> tuple[Config, argparse.Namespace]:
     parser.add_argument("--platform", type=str, default=None,
                         choices=("cpu", "tpu"),
                         help="force a JAX backend (e.g. cpu for a smoke run)")
+    parser.add_argument("--init_from_pth", type=str, default=None,
+                        metavar="PATH",
+                        help="warm-start from a reference-format model.pth "
+                             "(weights only; optimizer starts fresh)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize() with "
                              "TPU-pod auto-detection")
@@ -113,12 +117,20 @@ def main(argv=None) -> None:
 
     from neurosync_trainer_lite_tpu.training.loop import train_model
 
+    init_params = None
+    if args.init_from_pth:
+        from neurosync_trainer_lite_tpu.utils.torch_interop import (
+            load_torch_model)
+        init_params = load_torch_model(args.init_from_pth, cfg)
+        print(f"warm-starting from {args.init_from_pth}")
+
     if args.profile:
         with jax.profiler.trace(args.profile):
-            train_model(cfg.replace(n_epochs=min(cfg.n_epochs, 1)))
+            train_model(cfg.replace(n_epochs=min(cfg.n_epochs, 1)),
+                        init_params=init_params)
         print(f"profiler trace written to {args.profile}")
         return
-    train_model(cfg)
+    train_model(cfg, init_params=init_params)
 
 
 if __name__ == "__main__":

@@ -40,29 +40,43 @@ def init_train_state(cfg: Config, steps_per_epoch: int, *, rng=None,
     return TrainState(params, tx.init(params)), tx
 
 
-def shard_state(state: TrainState, cfg: Config, mesh,
-                tx: optax.GradientTransformation) -> TrainState:
-    """Place a TrainState onto a mesh: params get the TP/replication rules,
-    optimizer state inherits the matching shardings (moments follow their
-    parameters, counters replicate) via a jitted tx.init template."""
+def state_shardings(cfg: Config, mesh,
+                    tx: optax.GradientTransformation) -> TrainState:
+    """TrainState-shaped pytree of NamedShardings: params get the TP/
+    replication rules, optimizer state inherits the matching shardings
+    (moments follow their parameters, counters replicate) via an ABSTRACT
+    tx.init lowering — nothing is materialized. Used by shard_state, the
+    collective checkpoint restore, and the flagship AOT-compile test."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from neurosync_trainer_lite_tpu.parallel.mesh import shard_params
+    from neurosync_trainer_lite_tpu.parallel.mesh import param_shardings
 
-    params = shard_params(state.params, cfg, mesh)
-    template = jax.jit(tx.init)(params)
+    p_sh = param_shardings(cfg, mesh)
+    abs_params = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        jax.eval_shape(lambda: init_seq2seq(jax.random.PRNGKey(0), cfg)),
+        p_sh)
+    out_sh = jax.jit(tx.init).lower(abs_params).compile().output_shardings
     replicated = NamedSharding(mesh, P())
 
-    def place(t, v):
-        sh = t.sharding
-        # constants created inside tx.init (step counters) land on a single
-        # default device; everything must live on the mesh
+    def fix(sh):
+        # constants created inside tx.init (step counters) come back on a
+        # single default device; everything must live on the mesh
         if not (isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape):
-            sh = replicated
-        return jax.device_put(v, sh)
+            return replicated
+        return sh
 
-    opt_state = jax.tree.map(place, template, state.opt_state)
-    return TrainState(params, opt_state)
+    return TrainState(p_sh, jax.tree.map(fix, out_sh))
+
+
+def shard_state(state: TrainState, cfg: Config, mesh,
+                tx: optax.GradientTransformation) -> TrainState:
+    """Place a TrainState onto a mesh per state_shardings' rules."""
+    sh = state_shardings(cfg, mesh, tx)
+    return TrainState(
+        jax.device_put(state.params, sh.params),
+        jax.tree.map(lambda v, s: jax.device_put(v, s),
+                     state.opt_state, sh.opt_state))
 
 
 def _compute_loss(params, src, trg, cfg: Config, rng, train: bool,
