@@ -80,6 +80,15 @@ def wait_for_pending_saves() -> None:
         raise RuntimeError("async model.pth export failed") from err
 
 
+def _barrier(tag: str) -> None:
+    """Cross-process sync point for collective checkpoint phases (no-op
+    single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def _rotate_backups(checkpoint_path: str) -> None:
     """Move an existing checkpoint into backup_<ts>/ and prune to 5
     (reference: checkpoint_utils.py:22-36)."""
@@ -115,24 +124,38 @@ def save_checkpoint(state: TrainState, epoch: int, batch_step: int,
     state's buffers — the first train step of the next epoch does, and a
     donated-away array crashes the in-flight save ("Array has been
     deleted", observed on the real TPU). Rotation waits for any pending
-    save first, and restore callers must wait_for_pending_saves()."""
-    path = os.path.abspath(checkpoint_path or cfg.checkpoint_path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    wait_for_pending_saves()  # the previous save must land before rotating
-    _rotate_backups(path)
+    save first, and restore callers must wait_for_pending_saves().
 
-    os.makedirs(path)
+    In a multi-process job (jax.process_count()>1) this is a COLLECTIVE:
+    every process must call it with the same arguments (Orbax coordinates
+    the sharded write — each process contributes the shards it addresses,
+    so TP/DP-sharded state saves without any host holding the full state);
+    rotation and the meta sidecar are process-0-only, fenced by barriers."""
+    path = os.path.abspath(checkpoint_path or cfg.checkpoint_path)
+    primary = jax.process_index() == 0
+    if primary:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    wait_for_pending_saves()  # the previous save must land before rotating
+    _barrier("ckpt-pre-rotate")   # ...on EVERY process
+    if primary:
+        _rotate_backups(path)
+        os.makedirs(path)
+    _barrier("ckpt-post-rotate")  # nobody writes into path mid-rotation
+
     meta = {"epoch": epoch, "batch_step": batch_step,
             "config": cfg.to_dict()}
     if async_save:
         _get_async_ckptr().save(os.path.join(path, _STATE_SUBDIR), state)
         # meta is written by wait_for_pending_saves AFTER the state lands —
         # meta.json present must always imply state/ is complete
-        _pending_meta.append((path, meta))
+        if primary:
+            _pending_meta.append((path, meta))
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(path, _STATE_SUBDIR), state)
-        _write_meta(path, meta)
+        if primary:
+            _write_meta(path, meta)
+        _barrier("ckpt-saved")
 
 
 def _resolve_complete_checkpoint(path: str) -> str:

@@ -347,11 +347,15 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
                          (cfg.dp == -1 and len(jax.devices()) > 1)):
         mesh = make_mesh(cfg)
 
+    save_ckpt = save_artifacts
     if jax.process_count() > 1:
-        # multi-host: artifacts (plots, CSVs, checkpoints, model.pth) are
-        # written by process 0 only — with DP the state is replicated, so
-        # every array process 0 saves is fully addressable locally. (TP
-        # sharded across hosts would need a collective save; out of scope.)
+        # multi-host: checkpoint save/restore is COLLECTIVE — every process
+        # calls save_checkpoint/load_checkpoint and Orbax writes/reads each
+        # process's addressable shards, so DP-replicated AND cross-host
+        # TP-sharded state both work. Host-side artifacts (plots, CSVs,
+        # model.pth export) stay process-0-only; the .pth EXPORT still needs
+        # process 0 to address every param shard (true for DP replication
+        # and single-host TP — a cross-host-TP export would need a gather).
         save_artifacts = save_artifacts and jax.process_index() == 0
 
     n_data_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["data"] \
@@ -366,8 +370,15 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
 
     start_epoch, batch_step = 0, 0
     if cfg.mode == "resume" and os.path.exists(cfg.checkpoint_path):
+        # with a mesh, restore directly into the mesh shardings (collective
+        # in multi-process jobs: each process reads its addressable shards)
+        shardings = None
+        if mesh is not None:
+            from neurosync_trainer_lite_tpu.training.step import (
+                state_shardings)
+            shardings = state_shardings(cfg, mesh, tx)
         start_epoch, batch_step, state = load_checkpoint(
-            cfg.checkpoint_path, cfg, steps_per_epoch)
+            cfg.checkpoint_path, cfg, steps_per_epoch, shardings=shardings)
         start_epoch += 1
         if verbose:
             print(f"Resumed from {cfg.checkpoint_path} at epoch {start_epoch}")
@@ -402,12 +413,14 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             plots_dir=cfg.plots_dir if save_artifacts else None,
             verbose=verbose, history_out=history_out)
 
-        if save_artifacts:
+        if save_ckpt:
             # async (default): the ~3 GB state fetch + disk write overlap
             # the next epoch; save_checkpoint waits for the previous save
-            # before rotating backups (training/checkpoint.py)
+            # before rotating backups (training/checkpoint.py). Collective
+            # in multi-process jobs — every process calls this.
             save_checkpoint(state, epoch, batch_step, cfg,
                             async_save=cfg.async_checkpoint)
+        if save_artifacts:
             save_final_model(state.params, cfg,
                              async_save=cfg.async_checkpoint)
             if have_val_assets:
@@ -415,7 +428,8 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
                     epoch, cfg.audio_path, state.params,
                     cfg.ground_truth_path, cfg)
 
-    if save_artifacts:
+    if save_ckpt:
         wait_for_pending_saves()
+    if save_artifacts:
         save_final_model(state.params, cfg)
     return state, batch_step

@@ -60,3 +60,65 @@ for i in range(3):
                            host_put(trg, sharding), jax.random.PRNGKey(i))
 print(f"MULTIHOST_RESULT p{process_id} loss={float(loss):.8f} "
       f"grad_norm={float(gn):.8f}", flush=True)
+
+# ---- per-process shard-only batch assembly (SURVEY §5.8 / VERDICT r2 #5) --
+# Build a deterministic windowed dataset, assemble one global batch with
+# each process gathering ONLY its addressable rows, and print (a) a window-
+# table checksum — guards against per-host nondeterminism in clip discovery
+# silently corrupting batches — and (b) the global batch checksum computed
+# by a compiled reduction over the sharded array.
+import zlib  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from neurosync_trainer_lite_tpu.data.windowing import (  # noqa: E402
+    WindowedDataset,
+)
+from neurosync_trainer_lite_tpu.parallel.distributed import (  # noqa: E402
+    assemble_sharded_batch,
+)
+
+clip_rng = np.random.default_rng(7)
+clips = [(clip_rng.standard_normal((50, cfg.input_dim)).astype(np.float32),
+          clip_rng.standard_normal((50, cfg.output_dim)).astype(np.float32))]
+ds = WindowedDataset(clips, window=16)
+table_crc = zlib.crc32(np.ascontiguousarray(ds.table).tobytes())
+
+chunk = next(ds.index_batches(8, shuffle=True, seed=3))
+touched: list = []
+bsrc, btrg = assemble_sharded_batch(
+    ds.gather, chunk, sharding,
+    (8, 16, cfg.input_dim), (8, 16, cfg.output_dim), touched_rows=touched)
+# disjoint assembly: this process gathered exactly its 2-of-4 dp shards
+rows_gathered = sum(stop - start for start, stop in touched)
+assert rows_gathered == 8 // 2, touched
+batch_sum = float(jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))(bsrc, btrg))
+print(f"MULTIHOST_BATCH p{process_id} table_crc={table_crc} "
+      f"batch_sum={batch_sum:.6f} rows_gathered={rows_gathered}", flush=True)
+
+# ---- collective checkpoint save + sharded restore (VERDICT r2 #6) --------
+ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
+if ckpt_dir:
+    from neurosync_trainer_lite_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from neurosync_trainer_lite_tpu.training.step import state_shardings
+
+    path = ckpt_dir + "/checkpoint"
+    save_checkpoint(state, epoch=2, batch_step=3, cfg=cfg,
+                    checkpoint_path=path)
+    shardings = state_shardings(cfg, mesh, tx)
+    epoch, bstep, restored = load_checkpoint(path, cfg, steps_per_epoch=4,
+                                             shardings=shardings)
+    assert (epoch, bstep) == (2, 3)
+    # every locally-addressable shard must round-trip bit-exactly
+    for orig, back in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        for s_o, s_b in zip(orig.addressable_shards, back.addressable_shards):
+            np.testing.assert_array_equal(np.asarray(s_o.data),
+                                          np.asarray(s_b.data))
+    # and the restored state must be USABLE: one more compiled step
+    _, loss2, _ = step(restored, host_put(src, sharding),
+                       host_put(trg, sharding), jax.random.PRNGKey(9))
+    print(f"MULTIHOST_CKPT p{process_id} ok=1 loss={float(loss2):.8f}",
+          flush=True)

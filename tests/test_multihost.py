@@ -25,20 +25,21 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _parse(line_source: str) -> dict:
+def _parse(line_source: str, tag: str = "MULTIHOST_RESULT") -> dict:
     for line in line_source.splitlines():
-        if line.startswith("MULTIHOST_RESULT"):
+        if line.startswith(tag):
             parts = dict(kv.split("=") for kv in line.split()[2:])
             return {k: float(v) for k, v in parts.items()}
-    raise AssertionError(f"no MULTIHOST_RESULT in output:\n{line_source}")
+    raise AssertionError(f"no {tag} in output:\n{line_source}")
 
 
 @pytest.mark.slow
-def test_two_process_data_parallel_matches_single_process():
+def test_two_process_data_parallel_matches_single_process(tmp_path):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     procs = [
-        subprocess.Popen([sys.executable, WORKER, str(pid), coordinator],
+        subprocess.Popen([sys.executable, WORKER, str(pid), coordinator,
+                          str(tmp_path / "ckpt")],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env, cwd=REPO)
         for pid in (0, 1)
@@ -47,6 +48,19 @@ def test_two_process_data_parallel_matches_single_process():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     r0, r1 = _parse(outs[0]), _parse(outs[1])
+
+    # shard-only batch assembly: identical window tables and global batch
+    # checksums across processes, each process gathered only its own rows
+    b0, b1 = (_parse(o, "MULTIHOST_BATCH") for o in outs)
+    assert b0["table_crc"] == b1["table_crc"]
+    assert b0["batch_sum"] == pytest.approx(b1["batch_sum"], abs=1e-4)
+    assert b0["rows_gathered"] == b1["rows_gathered"] == 4
+
+    # collective checkpoint save + sharded restore worked on both processes
+    # and produced a usable state (identical next-step loss)
+    c0, c1 = (_parse(o, "MULTIHOST_CKPT") for o in outs)
+    assert c0["ok"] == c1["ok"] == 1
+    assert c0["loss"] == pytest.approx(c1["loss"], abs=1e-6)
 
     # both processes computed the same replicated loss/grad-norm
     assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
