@@ -46,6 +46,7 @@ pending queue.
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -193,12 +194,24 @@ class MultiStreamer:
     def __init__(self, params, cfg: Config, *, max_sessions: int = 8,
                  f_win: int = 256, trim_threshold: int = 256,
                  trim_margin: int = 64, max_buffer_seconds: float | None = None,
-                 fused_decode: bool = True):
+                 fused_decode: bool = True,
+                 stall_watchdog_s: float | None = 30.0):
         self.params = params
         self.cfg = cfg
         self.max_sessions = max_sessions
         self.trim_threshold = trim_threshold
         self.trim_margin = trim_margin
+        #: fused-tick stall watchdog: two multi-minute single-tick stalls
+        #: (484 s / 806 s) were observed on the FUSED program family through
+        #: the axon tunnel across ~300 ticks, never on the two-dispatch
+        #: family (docs/PERF.md). If a fused tick exceeds this wall-time
+        #: budget, the streamer logs loudly and switches itself to the
+        #: two-dispatch family for all subsequent ticks — bounding the
+        #: damage to ONE slow tick (+ a one-time compile of the fallback
+        #: programs, which the persistent XLA cache usually absorbs). None
+        #: disables the fallback. 30 s is ~100× the fused p95 at K=12 and
+        #: well below the observed stalls.
+        self.stall_watchdog_s = stall_watchdog_s
         #: fused tick (default): window gather + decode run INSIDE the tick
         #: program — one dispatch and no feature download per tick, at most
         #: one decoded window per session per tick (catch-up spreads over
@@ -323,6 +336,9 @@ class MultiStreamer:
         no audio and no emitted-frame continuity is lost.
         """
         final_ids = set(final_ids)
+        # snapshot: the watchdog below may flip self.fused for FUTURE ticks;
+        # this tick's branching must stay consistent throughout
+        fused = self.fused
         work = [(sid, st) for sid, st in self._sessions.items()
                 if self._needs_tick(st, sid in final_ids)]
         if not work:
@@ -387,7 +403,7 @@ class MultiStreamer:
                 if taken.dtype == np.int16:
                     taken = taken.astype(np.float32) / 32768.0
                 st.shadow = np.concatenate([st.shadow[sh:], taken])
-            if self.fused:
+            if fused:
                 # single-window plan from post-intake state, decoded ON
                 # DEVICE this tick (the assembler holds no features)
                 t60_new = self._t60_valid(st.buf_len - sh + take)
@@ -398,8 +414,9 @@ class MultiStreamer:
                     fused_plans[sid] = plan
 
         before = {sid: st.asm.frames_ready for sid, st in work}
+        t0 = time.perf_counter()
         try:
-            if self.fused and not fused_plans:
+            if fused and not fused_plans:
                 # intake-only tick (the common case at live cadence: a
                 # window completes only every ~1.9 s of audio) — update the
                 # rings, skip the frontend+decode entirely
@@ -408,7 +425,7 @@ class MultiStreamer:
                     jnp.asarray(shift), jnp.asarray(buf_len),
                     jnp.asarray(new_len))
                 decoded = None
-            elif self.fused:
+            elif fused:
                 self._buf, decoded = _tick_fused(
                     self.params, self._buf, jnp.asarray(idx),
                     jnp.asarray(new), jnp.asarray(shift),
@@ -432,7 +449,17 @@ class MultiStreamer:
             self._recover_rings()
             return self.tick(final_ids=final_ids, _retry=False)
 
-        if self.fused:
+        dt = time.perf_counter() - t0
+        if (fused and self.stall_watchdog_s is not None
+                and dt > self.stall_watchdog_s):
+            print(f"serving tick took {dt:.1f} s (watchdog budget "
+                  f"{self.stall_watchdog_s:.0f} s) — switching this streamer "
+                  "to the two-dispatch tick family (fused_decode=False) for "
+                  "subsequent ticks; the stall family is the fused program "
+                  "(docs/PERF.md rare-stall note)")
+            self.fused = False
+
+        if fused:
             for i, (sid, st) in enumerate(work):
                 st.buf_len = int(buf_len[i]) - int(shift[i]) + takes[i]
                 plan = fused_plans.get(sid)

@@ -71,6 +71,54 @@ def test_multi_matches_independent_single_streamers(setup, fused):
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_stall_watchdog_switches_to_two_dispatch_mid_session(setup):
+    """A fused tick over the watchdog budget must flip the streamer to the
+    two-dispatch family for subsequent ticks — and the live sessions must
+    continue seamlessly (overlap continuity lives in the assembler's pending
+    decoded tail, which both families share). Output is compared against an
+    untouched fused run."""
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(int(cfg.sr * 6.0)) * 0.4).astype(np.float32)
+
+    # stall_watchdog_s=-1: every fused tick "breaches", so the very first
+    # decoding tick flips the mode — the rest of the stream runs two-dispatch
+    ms = _multi(params, cfg, max_sessions=2, fused_decode=True,
+                stall_watchdog_s=-1.0)
+    ref = _multi(params, cfg, max_sessions=2, fused_decode=True,
+                 stall_watchdog_s=None)
+    sid, rid = ms.open(), ref.open()
+
+    step = cfg.sr // 3
+    for r in range(len(audio) // step + 1):
+        chunk = audio[r * step: (r + 1) * step]
+        if chunk.size:
+            ms.push_audio(sid, chunk)
+            ref.push_audio(rid, chunk)
+        ms.tick()
+        ref.tick()
+    assert ms.fused is False      # the watchdog flipped it
+    assert ref.fused is True
+    ms.flush(sid)
+    ref.flush(rid)
+    got, want = ms.pop_frames(sid), ref.pop_frames(rid)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_stall_watchdog_disabled_with_none(setup):
+    cfg, params = setup
+    ms = _multi(params, cfg, max_sessions=1, fused_decode=True,
+                stall_watchdog_s=None)
+    sid = ms.open()
+    rng = np.random.default_rng(6)
+    ms.push_audio(sid, (rng.standard_normal(cfg.sr * 3) * 0.4
+                        ).astype(np.float32))
+    ms.tick()
+    ms.flush(sid)
+    assert ms.fused is True
+
+
 def test_session_rows_are_isolated_and_reused(setup):
     """Closing a session frees its ring row; a new session reusing the row
     must see none of the old audio."""

@@ -1,0 +1,127 @@
+"""Serving soak: N unpaced MultiStreamer ticks with session churn on the
+real TPU; prints per-run latency percentiles + a JSON summary line.
+
+Built for the r3 fused-stall investigation (docs/PERF.md rare-stall note):
+the r2 soaks were ad-hoc; this makes ≥500-tick runs restartable and
+comparable. Each live session pushes 0.5 s of int16 audio per tick;
+sessions churn (open/close) every `--churn` ticks. The stall watchdog is
+left at its production default unless --watchdog overrides it, so a run
+also demonstrates the fallback behavior on a real stall.
+
+Usage: python tools/serving_soak.py NAME --ticks 500 [--fused 0|1]
+           [--sessions 4] [--churn 60] [--watchdog SECONDS|-]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("name")
+    p.add_argument("--out", default="/tmp/serving_soak_results.jsonl")
+    p.add_argument("--ticks", type=int, default=500)
+    p.add_argument("--fused", type=int, default=1)
+    p.add_argument("--sessions", type=int, default=4)
+    p.add_argument("--max-sessions", type=int, default=8)
+    p.add_argument("--churn", type=int, default=60,
+                   help="close one + open one session every N ticks")
+    p.add_argument("--push-seconds", type=float, default=0.5)
+    p.add_argument("--watchdog", default=None,
+                   help="stall watchdog seconds; '-' disables; default: "
+                        "production default (30)")
+    args = p.parse_args()
+
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
+    import jax
+
+    from neurosync_trainer_lite_tpu.config import Config
+    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
+    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+
+    cfg = Config(dropout=0.0)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    kw = {}
+    if args.watchdog == "-":
+        kw["stall_watchdog_s"] = None
+    elif args.watchdog is not None:
+        kw["stall_watchdog_s"] = float(args.watchdog)
+    ms = MultiStreamer(params, cfg, max_sessions=args.max_sessions,
+                       fused_decode=bool(args.fused), **kw)
+    t0 = time.perf_counter()
+    n_prog = ms.warmup()
+    print(f"warmup: {n_prog} programs in {time.perf_counter() - t0:.1f} s",
+          flush=True)
+
+    rng = np.random.default_rng(0)
+    push = int(cfg.sr * args.push_seconds)
+
+    def audio():
+        return (rng.standard_normal(push) * 8000).astype(np.int16)
+
+    sids = [ms.open() for _ in range(args.sessions)]
+    frames = {sid: 0 for sid in sids}
+    lat = []
+    flipped_at = None
+    for t in range(args.ticks):
+        if args.churn and t and t % args.churn == 0:
+            old = sids.pop(0)
+            ms.flush(old)
+            frames[old] += 0  # final count already tracked via pop below
+            ms.pop_frames(old)
+            ms.close(old)
+            sids.append(ms.open())
+            frames.setdefault(sids[-1], 0)
+        for sid in sids:
+            ms.push_audio(sid, audio())
+        t1 = time.perf_counter()
+        out = ms.tick()
+        dt = time.perf_counter() - t1
+        lat.append(dt)
+        for sid, n in out.items():
+            frames[sid] = frames.get(sid, 0) + n
+        if flipped_at is None and bool(args.fused) and not ms.fused:
+            flipped_at = t
+            print(f"watchdog flipped to two-dispatch at tick {t} "
+                  f"({dt:.1f} s tick)", flush=True)
+        if t % 100 == 0:
+            print(f"tick {t}: {dt * 1e3:.0f} ms, "
+                  f"{sum(frames.values())} frames total", flush=True)
+    for sid in sids:
+        ms.flush(sid)
+        ms.pop_frames(sid)
+        ms.close(sid)
+
+    ms_lat = np.asarray(lat) * 1e3
+    rec = {
+        "name": args.name, "ticks": args.ticks, "fused": bool(args.fused),
+        "sessions": args.sessions, "churn": args.churn,
+        "p50_ms": round(float(np.percentile(ms_lat, 50)), 1),
+        "p95_ms": round(float(np.percentile(ms_lat, 95)), 1),
+        "p99_ms": round(float(np.percentile(ms_lat, 99)), 1),
+        "max_ms": round(float(ms_lat.max()), 1),
+        "stalls_over_30s": int((ms_lat > 30_000).sum()),
+        "watchdog_flip_tick": flipped_at,
+        "total_frames": int(sum(frames.values())),
+    }
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
