@@ -177,7 +177,7 @@ def main():
         "vs_baseline": round(d0 / REFERENCE_4GPU_SAMPLES_PER_SEC, 3),
     }), file=sys.stderr)
     sys.stderr.flush()
-    cfg = _maybe_auto_remat(full_config(), 1, verbose=False)  # picks K=6
+    cfg = _maybe_auto_remat(full_config(), 1, verbose=False)  # picks K=2
     samples_per_sec = _measure_train(cfg)
     print(json.dumps({
         "metric": "228M_train_samples_per_sec_per_chip_dropout0.3",

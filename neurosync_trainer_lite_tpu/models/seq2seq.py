@@ -207,18 +207,24 @@ def _ffn_lean_fwd(x, w1, b1, w2, b2, keep, scale):
                    ).astype(x.dtype)
     y = (jnp.dot(am, w2.astype(x.dtype), preferred_element_type=jnp.float32)
          + b2.astype(jnp.float32)).astype(x.dtype)
-    return y, (x, am, keep, scale, w1, w2)
+    # NOTE: `keep` is deliberately NOT a residual — (am > 0) already implies
+    # kept AND relu-active (dropped or bf16-rounded-to-zero elements get a
+    # zero cotangent either way, exactly as keep & (am > 0) would give), so
+    # saving the [B, T, 4H] bool costs ~67 MB/site × 16 sites for nothing
+    # (measured with the r3 mask-lean probes: part of 493 → 529 samples/s
+    # at dropout 0.3 — docs/PERF.md)
+    return y, (x, am, scale, w1, w2)
 
 
 def _ffn_lean_bwd(res, dy):
-    x, am, keep, scale, w1, w2 = res
+    x, am, scale, w1, w2 = res
     red = tuple(range(dy.ndim - 1))
     db2 = jnp.sum(dy.astype(jnp.float32), axis=red)
     dw2 = jnp.einsum("...f,...o->fo", am, dy,
                      preferred_element_type=jnp.float32)
     dam = jnp.dot(dy, w2.astype(dy.dtype).T,
                   preferred_element_type=jnp.float32).astype(dy.dtype)
-    dh1 = jnp.where(keep & (am > 0), dam * scale.astype(dam.dtype), 0
+    dh1 = jnp.where(am > 0, dam * scale.astype(dam.dtype), 0
                     ).astype(dy.dtype)
     db1 = jnp.sum(dh1.astype(jnp.float32), axis=red)
     dw1 = jnp.einsum("...f,...o->fo", x, dh1,

@@ -13,6 +13,8 @@ in fp32 on the MXU; softmax is computed in fp32 for stability.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +26,32 @@ def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout_core(x, rng, q):
+    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    scale = jnp.asarray(256.0 / (256 - q), x.dtype)
+    return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
+
+
+def _dropout_core_fwd(x, rng, q):
+    # residual = the KEY only: the backward redraws the mask bits from it
+    # instead of keeping ~uint8 masks alive across fwd→bwd (dropout touches
+    # ~2.2e9 elements per 228M train step; rbg mask generation is measured
+    # ~free while the stored-mask HBM traffic was ~6 ms/step — docs/PERF.md
+    # r3). Bitwise-safe: jax.random.bits is a pure function of (key, shape),
+    # so the redrawn mask equals the forward's for rbg and threefry alike.
+    return _dropout_core(x, rng, q), rng
+
+
+def _dropout_core_bwd(q, rng, dy):
+    bits = jax.random.bits(rng, dy.shape, jnp.uint8)
+    scale = jnp.asarray(256.0 / (256 - q), dy.dtype)
+    return jnp.where(bits >= q, dy * scale, 0).astype(dy.dtype), None
+
+
+_dropout_core.defvjp(_dropout_core_fwd, _dropout_core_bwd)
+
+
 def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
     """Inverted dropout (torch.nn.Dropout semantics).
 
@@ -31,7 +59,10 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
     of randomness per element (4x less RNG/mask traffic — dropout touches
     ~2.2e9 elements per 228M train step). The keep probability quantizes to
     1/256 steps (rate 0.3 → effective 0.30078), immaterial for training and
-    compensated exactly by the matching inverted scale.
+    compensated exactly by the matching inverted scale. The backward pass
+    REDRAWS the mask from the saved key rather than storing it
+    (_dropout_core); gradient equality with stored-mask autodiff is pinned
+    in tests/test_model.py.
     """
     if not train or rate == 0.0 or rng is None:
         return x
@@ -40,9 +71,7 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
         return x
     if q >= 256:  # rate ≈ 1.0: everything dropped (torch nn.Dropout(1.0))
         return jnp.zeros_like(x)
-    bits = jax.random.bits(rng, x.shape, jnp.uint8)
-    scale = jnp.asarray(256.0 / (256 - q), x.dtype)
-    return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
+    return _dropout_core(x, rng, q)
 
 
 @jax.custom_vjp

@@ -251,14 +251,15 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
 
     # decoder/encoder activation split ≈ 35/25 (2 attentions vs 1 per layer,
     # same FFN — the estimator's 60·L coefficient); a RESIDENT decoder layer
-    # costs ~1.25x its share of that estimate in practice (dropout mask
-    # bytes, allocator slack — recalibrated after the lean-residual FFN vjp
-    # freed ~134 MB/layer: on the 16 GB v5e 3 resident layers now fit but
-    # run SLOWER than 2 — allocator pressure beats the saved recompute, so
-    # residency is capped at the measured-fastest count below)
+    # costs ~0.42x its share of that estimate since the r3 mask-lean
+    # residuals (regen-from-key dropout + keep-free FFN vjp: no stored
+    # masks, lean LN/FFN/softmax custom vjps). Calibration: on the 16 GB
+    # v5e at the flagship geometry, 6 resident layers fit and are the
+    # measured-fastest (spare ≈ 3.2 GB / 6 ≈ 0.53 GB per layer) while 7
+    # thrash the allocator — both consistent with 0.42 (docs/PERF.md r3)
     acts = _activation_bytes(cfg, n_data_shards)
     dec_acts = acts * 35 // 60
-    per_resident_layer = 1.25 * dec_acts / cfg.n_layers
+    per_resident_layer = 0.42 * dec_acts / cfg.n_layers
     spare = budget - (need - dec_acts)
     if spare < 0:
         # even a fully-rematted decoder won't fit (e.g. batch ≥256 on a
@@ -303,14 +304,16 @@ def _residency_cap(cfg: Config) -> tuple[int, str]:
     came from.
 
     On the v5e the cap is MEASURED at the flagship geometry (docs/PERF.md):
-    2 resident layers at dropout 0.3 (489.8 vs 486.0 samples/s), 1 at
-    dropout 0 (538.5 vs 534.1) — more residents fit but lose to allocator
-    pressure. Those numbers are v5e-specific; on any other chip the planner
-    keeps whatever fits the HBM estimate (fit-derived, uncapped) rather than
-    silently applying another chip's measurement (VERDICT r2 weak #4)."""
+    with the r3 mask-lean residuals (regen-from-key dropout + keep-free FFN
+    vjp) the sweet spot is 6 resident decoder layers at dropout 0.3
+    (529.5 samples/s) AND at dropout 0 (555.4; K-sweep monotone up to 6,
+    the 7th resident thrashed the allocator at dropout 0.3). v5e-specific;
+    on any other chip the planner keeps whatever fits the HBM estimate
+    (fit-derived, uncapped) rather than silently applying another chip's
+    measurement (VERDICT r2 weak #4)."""
     kind = _local_device_kind()
     if kind.startswith(("TPU v5 lite", "TPU v5e")):
-        return (2 if cfg.dropout > 0 else 1), f"measured on {kind}"
+        return 6, f"measured on {kind}"
     return cfg.n_layers - 1, (
         f"fit-derived (no measured cap for {kind or 'this backend'})")
 

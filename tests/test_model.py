@@ -240,6 +240,49 @@ def test_layer_norm_bf16_grads_match_autodiff():
         assert np.max(np.abs(a - b)) / denom < 1e-2
 
 
+def test_dropout_regen_backward_matches_stored_mask():
+    """The regen-from-key dropout vjp (ops/attention._dropout_core saves
+    only the KEY and redraws mask bits in the backward) must equal
+    stored-mask autodiff of the same composition — jax.random.bits is a
+    pure function of (key, shape), so the redrawn mask is the forward's,
+    for threefry and rbg keys alike."""
+    from neurosync_trainer_lite_tpu.ops.attention import dropout
+
+    def stored(x, rate, key):
+        q = int(round(rate * 256))
+        bits = jax.random.bits(key, x.shape, jnp.uint8)
+        scale = jnp.asarray(256.0 / (256 - q), x.dtype)
+        return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
+
+    rng = np.random.default_rng(12)
+    for impl in ("threefry2x32", "rbg"):
+        key = jax.random.key(5, impl=impl)
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.standard_normal((4, 8, 32)), dtype)
+            y_regen = dropout(x, 0.3, key, True)
+            y_stored = stored(x, 0.3, key)
+            np.testing.assert_array_equal(np.asarray(y_regen, np.float32),
+                                          np.asarray(y_stored, np.float32))
+
+            loss_r = lambda x: jnp.sum(
+                dropout(x, 0.3, key, True).astype(jnp.float32) ** 2)
+            loss_s = lambda x: jnp.sum(
+                stored(x, 0.3, key).astype(jnp.float32) ** 2)
+            g_r = jax.jit(jax.grad(loss_r))(x)
+            g_s = jax.jit(jax.grad(loss_s))(x)
+            np.testing.assert_allclose(
+                np.asarray(g_r, np.float32), np.asarray(g_s, np.float32),
+                rtol=1e-6, atol=1e-6)
+
+    # the determinism assumption itself, pinned under jit: two bits() draws
+    # from the same key are identical (the regen backward depends on it)
+    for impl in ("threefry2x32", "rbg"):
+        key = jax.random.key(9, impl=impl)
+        a, b = jax.jit(lambda k: (jax.random.bits(k, (64,), jnp.uint8),
+                                  jax.random.bits(k, (64,), jnp.uint8)))(key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ffn_lean_grads_match_autodiff():
     """The lean-residual FFN vjp (bf16 path) must match plain autodiff of
     the same composition, with and without dropout, and its forward must be

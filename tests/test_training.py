@@ -198,13 +198,12 @@ def test_auto_remat_planner_decisions():
                               lambda: "TPU v5 lite"):
         cfg = loop._maybe_auto_remat(full_config(), 1, verbose=False)
         assert cfg.remat and cfg.remat_scope == "decoder"
-        # dropout 0.3 default: two resident decoder layers (measured fastest
-        # with the lean-residual FFN vjp — docs/PERF.md)
-        assert cfg.remat_layers == 6
-        # dropout 0: one resident layer is the measured optimum
+        # six resident decoder layers at dropout 0.3 AND 0 (measured fastest
+        # with the r3 mask-lean residuals — docs/PERF.md)
+        assert cfg.remat_layers == 2
         cfg = loop._maybe_auto_remat(full_config(dropout=0.0), 1,
                                      verbose=False)
-        assert cfg.remat_layers == 7
+        assert cfg.remat_layers == 2
     with mock.patch.object(loop, "_device_hbm_limit", lambda: int(95e9)):
         assert not loop._maybe_auto_remat(full_config(), 1, verbose=False).remat
     with mock.patch.object(loop, "_device_hbm_limit", lambda: int(16e9)):
@@ -233,9 +232,9 @@ def test_auto_remat_residency_cap_is_scoped_to_v5e():
     # v5e: measured caps apply
     with mock.patch.object(loop, "_local_device_kind", lambda: "TPU v5 lite"):
         cap, src = loop._residency_cap(full_config())
-        assert cap == 2 and "measured" in src
+        assert cap == 6 and "measured" in src
         cap, _ = loop._residency_cap(full_config(dropout=0.0))
-        assert cap == 1
+        assert cap == 6
     # v5p / v6e / unknown: fit-derived, uncapped below n_layers-1
     for kind in ("TPU v5p", "TPU v6e", "weird-future-chip", ""):
         with mock.patch.object(loop, "_local_device_kind", lambda k=kind: k):

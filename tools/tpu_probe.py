@@ -38,6 +38,10 @@ def main():
     p.add_argument("--fwd-only", action="store_true")
     p.add_argument("--unroll", type=int, default=0,
                    help="prototype: lax.scan unroll factor for the layer scans")
+    p.add_argument("--cache", type=int, default=1,
+                   help="persistent XLA compile cache (skip recompiles "
+                        "across probe retries — the tunnel is flaky); pass "
+                        "0 when measuring compile time itself")
     p.add_argument("--patch", default=None,
                    choices=("norope", "noln", "nosoftmax", "noattn", "noffn",
                             "fastattn", "fusedqkv", "projonly", "notranspose",
@@ -46,6 +50,11 @@ def main():
                             "ffn-nokeep", "dropout-regen", "mask-lean"),
                    help="ablate/prototype a component (diagnostic only)")
     args = p.parse_args()
+
+    if args.cache:
+        from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
 
     if args.patch == "attndrop-skip":
         # diagnostic: disable ONLY the attention-weight dropout (keep
