@@ -194,7 +194,7 @@ class MultiStreamer:
     def __init__(self, params, cfg: Config, *, max_sessions: int = 8,
                  f_win: int = 256, trim_threshold: int = 256,
                  trim_margin: int = 64, max_buffer_seconds: float | None = None,
-                 fused_decode: bool = True,
+                 fused_decode: bool = False,
                  stall_watchdog_s: float | None = 30.0):
         self.params = params
         self.cfg = cfg
@@ -212,12 +212,16 @@ class MultiStreamer:
         #: disables the fallback. 30 s is ~100× the fused p95 at K=12 and
         #: well below the observed stalls.
         self.stall_watchdog_s = stall_watchdog_s
-        #: fused tick (default): window gather + decode run INSIDE the tick
+        #: fused tick (OPT-IN): window gather + decode run INSIDE the tick
         #: program — one dispatch and no feature download per tick, at most
         #: one decoded window per session per tick (catch-up spreads over
-        #: ticks). fused_decode=False keeps the two-dispatch path
-        #: (feature-window download + separate cross-session batched decode,
-        #: multiple windows per tick).
+        #: ticks); ~20% faster steady-state than the default. NOT the
+        #: default because the fused program family sporadically stalls a
+        #: single tick for 39 s–13 min on the tunnel rig (4 stalls across
+        #: ~800 fused ticks by r3; zero across ~860 two-dispatch ticks —
+        #: docs/PERF.md). The default two-dispatch path (feature-window
+        #: download + separate cross-session batched decode, multiple
+        #: windows per tick) has never stalled.
         self.fused = fused_decode
 
         self._frame_samples = int(0.01667 * cfg.sr)

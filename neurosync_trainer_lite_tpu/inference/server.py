@@ -44,7 +44,7 @@ MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
 def make_handler(params, cfg: Config, *, max_sessions: int = 8,
-                 fused_ticks: bool = True):
+                 fused_ticks: bool = False):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -177,7 +177,7 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
 
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
           *, server_class=HTTPServer, max_sessions: int = 8,
-          fused_ticks: bool = True):
+          fused_ticks: bool = False):
     httpd = server_class((host, port),
                          make_handler(params, cfg, max_sessions=max_sessions,
                                       fused_ticks=fused_ticks))
@@ -204,11 +204,16 @@ def main(argv=None):
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip startup pre-compilation (first live "
                         "session then pays the XLA compiles)")
+    parser.add_argument("--fused_ticks", action="store_true",
+                        help="OPT-IN fused tick family: ~20% faster steady "
+                        "state, but it sporadically stalls a single tick "
+                        "for 39 s–13 min on tunnel-like links (4 stalls / "
+                        "~800 fused ticks measured; zero on the default "
+                        "two-dispatch family — docs/PERF.md). A stall "
+                        "watchdog auto-falls-back after the first breach.")
     parser.add_argument("--two_dispatch_ticks", action="store_true",
-                        help="serve live sessions with the two-dispatch "
-                        "tick instead of the fused default: ~20% slower "
-                        "steady state, but no multi-minute stalls were "
-                        "ever observed on it (docs/PERF.md soak caveat)")
+                        help="(deprecated no-op: two-dispatch is the "
+                        "default now; use --fused_ticks to opt in)")
     args = parser.parse_args(argv)
 
     import jax
@@ -226,7 +231,7 @@ def main(argv=None):
     params = load_model(args.model, cfg)
     httpd = serve(params, cfg, args.host, args.port,
                   max_sessions=args.max_sessions,
-                  fused_ticks=not args.two_dispatch_ticks)
+                  fused_ticks=args.fused_ticks)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)

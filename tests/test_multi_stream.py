@@ -381,7 +381,7 @@ def test_intake_only_ticks_skip_decode(setup, monkeypatch):
     monkeypatch.setattr(M, "_tick_ring_only", lambda *a, **k: (
         calls.__setitem__("ring", calls["ring"] + 1), real_ring(*a, **k))[1])
 
-    ms = _multi(params, cfg, max_sessions=2)
+    ms = _multi(params, cfg, max_sessions=2, fused_decode=True)
     sid = ms.open()
     for i in range(0, len(audio), step):
         ms.push_audio(sid, audio[i: i + step])
