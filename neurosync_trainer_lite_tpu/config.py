@@ -136,6 +136,22 @@ class Config:
                                      # 228M batch-128 geometry) and skips its
                                      # recompute in the backward pass — dial
                                      # to the chip's spare HBM
+    unroll_residents: bool = True    # Python-unroll the NON-rematerialized
+                                     # (resident) layers in training instead
+                                     # of lax.scan-ning them: scan stacks
+                                     # every resident layer's backward
+                                     # residuals into [L, ...] carry buffers
+                                     # via dynamic-update-slice — the device
+                                     # trace attributes ~52 ms/step of the
+                                     # flagship step to those DUS fusions.
+                                     # Unrolled residents keep residuals as
+                                     # independent values XLA fuses into
+                                     # their producers (measured 529.5→574.0
+                                     # samples/s at dropout 0.3). Remat'd
+                                     # layers keep lax.scan (their residuals
+                                     # are recomputed, never stacked), as do
+                                     # all inference paths (compact serving
+                                     # programs / compile times).
     attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
     async_checkpoint: bool = True    # overlap the per-epoch checkpoint +
                                      # model.pth export (device→host fetch +

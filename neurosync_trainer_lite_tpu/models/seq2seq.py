@@ -317,20 +317,42 @@ def _maybe_remat(body, cfg: Config, scope: str):
     return jax.checkpoint(body)
 
 
-def _scan_layers(body, x, xs, cfg: Config, scope: str):
-    """scan over stacked layers, rematerializing all — or, with
-    cfg.remat_layers = K, only the FIRST K layers (the rest keep their
-    activations resident and skip recompute in the backward pass; memory vs
-    recompute dialed to the chip's spare HBM)."""
+def _unrolled_layers(body, x, xs, lo: int, hi: int):
+    """Python-unroll layers [lo, hi) of the stacked pytree `xs`.
+
+    Static `a[i]` indexing — XLA sees n independent layer bodies, and each
+    body's backward residuals stay independent values fused into their
+    producers. A lax.scan over the same layers must instead stack every
+    residual into a [L, ...] loop-carry via dynamic-update-slice; the
+    flagship device trace attributes ~52 ms/step to exactly those DUS
+    fusions (docs/PERF.md, r3)."""
+    for i in range(lo, hi):
+        x, _ = body(x, jax.tree.map(lambda a: a[i], xs))
+    return x
+
+
+def _scan_layers(body, x, xs, cfg: Config, scope: str, train: bool = False):
+    """Iterate the stacked layers: lax.scan the rematerialized head (its
+    residuals are recomputed, never stacked), and — in training with
+    cfg.unroll_residents — Python-unroll the resident layers so their
+    backward residuals aren't dynamic-update-sliced into [L, ...] buffers
+    (measured 529.5→574.0 samples/s on the flagship step; config.py).
+    Inference always scans: no residuals exist, and the compact one-body
+    program keeps serving compile times and executable sizes down."""
     n_layers = cfg.n_layers
     k = cfg.remat_layers
     in_scope = cfg.remat and cfg.remat_scope in ("all", scope)
+    unroll = train and cfg.unroll_residents
     if not in_scope or k < 0 or k >= n_layers:
+        if not in_scope and unroll:  # every layer resident
+            return _unrolled_layers(body, x, xs, 0, n_layers)
         x, _ = jax.lax.scan(_maybe_remat(body, cfg, scope), x, xs)
         return x
     if k > 0:
         head = jax.tree.map(lambda a: a[:k], xs)
         x, _ = jax.lax.scan(_maybe_remat(body, cfg, scope), x, head)
+    if unroll:
+        return _unrolled_layers(body, x, xs, k, n_layers)
     tail = jax.tree.map(lambda a: a[k:], xs)
     x, _ = jax.lax.scan(body, x, tail)
     return x
@@ -363,7 +385,8 @@ def encoder_apply(params, x, cfg: Config, *, rng=None, train: bool = False):
         )
         return out, None
 
-    x = _scan_layers(body, x, (params["layers"], keys), cfg, "encoder")
+    x = _scan_layers(body, x, (params["layers"], keys), cfg, "encoder",
+                     train=train)
     return layer_norm(x, params["norm"])
 
 
@@ -388,7 +411,8 @@ def decoder_apply(params, encoder_outputs, cfg: Config, *, rng=None, train: bool
         )
         return out, None
 
-    x = _scan_layers(body, x, (params["layers"], keys), cfg, "decoder")
+    x = _scan_layers(body, x, (params["layers"], keys), cfg, "decoder",
+                     train=train)
     x = layer_norm(x, params["norm"])
     out = _linear(x, params["fc_output"])
     return out.astype(jnp.float32)

@@ -110,6 +110,17 @@ def test_flagship_sharded_program_compiles():
 
     n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
     assert n_allreduce > 0, "no collectives in the flagship dp×tp program"
-    # grad sync + 2 TP all-reduces/block must stay fused — not per-parameter
-    assert n_allreduce <= 40, (
-        f"{n_allreduce} all-reduces at flagship shapes — fusion broke")
+    # With unroll_residents, every resident layer's TP all-reduces are
+    # distinct HLO ops (2 fwd row-parallel outputs + 2 bwd column-parallel
+    # input grads per layer) instead of one set inside a scan body — same
+    # runtime collective count (the scan executed them L times), more static
+    # ops. remat=False here, so all 2*n_layers layers unroll (measured: 83).
+    # Grad sync must still be a fused handful (~12), not per-parameter (~50
+    # leaves) — the bound leaves room for the per-layer TP ops plus fused
+    # grad sync plus loss/grad-norm stats, and trips if either the TP rules
+    # or grad-sync fusion regress to per-parameter collectives.
+    n_unrolled = 2 * cfg.n_layers if cfg.unroll_residents else 0
+    bound = 5 * n_unrolled + 24
+    assert n_allreduce <= bound, (
+        f"{n_allreduce} all-reduces at flagship shapes (bound {bound}) — "
+        "TP or grad-sync fusion broke")

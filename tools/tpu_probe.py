@@ -47,8 +47,12 @@ def main():
                             "fastattn", "fusedqkv", "projonly", "notranspose",
                             "attndrop-skip", "attndrop-bf16",
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
-                            "ffn-nokeep", "dropout-regen", "mask-lean"),
+                            "ffn-nokeep", "dropout-regen", "mask-lean",
+                            "unroll-dec-tail"),
                    help="ablate/prototype a component (diagnostic only)")
+    p.add_argument("--unroll-residents", type=int, default=1,
+                   help="Config.unroll_residents (1 = shipped default; 0 "
+                        "ablates back to lax.scan-ing resident layers)")
     args = p.parse_args()
 
     if args.cache:
@@ -247,13 +251,30 @@ def main():
 
         s2s.layer_norm = ln_plain
 
+    if args.patch == "unroll-dec-tail":
+        # diagnostic: unroll ONLY the decoder tail, keep the encoder on the
+        # plain scan — isolates the decoder-tail vs encoder contributions to
+        # the shipped unroll_residents win (measured r3: dec-tail-only 554.1
+        # vs both 574.0 vs neither 529.5 samples/s at dropout 0.3).
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+
+        _shipped = s2s._scan_layers
+
+        def dec_tail_only(body, x, xs, cfg, scope, train=False):
+            return _shipped(body, x, xs, cfg, scope,
+                            train=train and scope == "decoder")
+
+        s2s._scan_layers = dec_tail_only
+
     if args.unroll > 0:
         # prototype: unroll the layer scans so XLA can interleave/schedule
         # across layer bodies (costs compile time and code size)
         import jax as _jax
         from neurosync_trainer_lite_tpu.models import seq2seq as s2s
 
-        def scan_unrolled(body, x, xs, cfg, scope):
+        def scan_unrolled(body, x, xs, cfg, scope, train=False):
+            # diagnostic: lax.scan's unroll factor, NOT the shipped
+            # Python-unroll (train intentionally unused here)
             n_layers = cfg.n_layers
             k = cfg.remat_layers
             in_scope = cfg.remat and cfg.remat_scope in ("all", scope)
@@ -362,6 +383,7 @@ def main():
     cfg = full_config(dropout=args.dropout, remat=bool(args.remat),
                       remat_policy=args.policy, remat_scope=args.scope,
                       remat_layers=args.remat_layers,
+                      unroll_residents=bool(args.unroll_residents),
                       attention_impl=args.attn, use_amp=bool(args.amp))
     key = jax.random.PRNGKey(0)
     src = jax.random.normal(key, (args.b, args.t, cfg.input_dim), jnp.float32)
