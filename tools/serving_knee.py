@@ -1,0 +1,114 @@
+"""Serving capacity-knee probe: where does per-tick cost come from as K
+grows — dispatch/transfer (intake) or compute (decode)?
+
+For a given session count K it measures, separately:
+- intake-only ticks (0.25 s pushes, no window ready): upload + dispatch
+- decode ticks (every session primed with exactly one ready window):
+  frontend + cross-session batched 228M decode (+ feature download in
+  two-dispatch mode)
+
+Each is reported as median/p95 over --reps repetitions. One K per process
+(the tunnel is flaky; retry cheaply via the persistent compile cache).
+
+Usage: python tools/serving_knee.py NAME --k 12 [--fused 0|1] [--reps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("name")
+    p.add_argument("--out", default="/tmp/serving_knee_results.jsonl")
+    p.add_argument("--k", type=int, default=12)
+    p.add_argument("--fused", type=int, default=0)
+    p.add_argument("--reps", type=int, default=20)
+    args = p.parse_args()
+
+    import numpy as np
+
+    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
+    import jax
+
+    from neurosync_trainer_lite_tpu.config import Config
+    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
+    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
+
+    cfg = Config(dropout=0.0)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    ms = MultiStreamer(params, cfg, max_sessions=args.k,
+                       fused_decode=bool(args.fused),
+                       stall_watchdog_s=None)
+    t0 = time.perf_counter()
+    ms.warmup()
+    print(f"warmup {time.perf_counter() - t0:.1f} s", flush=True)
+
+    rng = np.random.default_rng(0)
+    sids = [ms.open() for _ in range(args.k)]
+    # prime each ring past the first window so intake ticks are pure intake
+    for sid in sids:
+        ms.push_audio(sid, (rng.standard_normal(int(cfg.sr * 2.2)) * 8000
+                            ).astype(np.int16))
+    while ms.tick():
+        pass
+
+    win_stride_s = (cfg.frame_size - cfg.overlap) / cfg.frame_rate  # ≈1.87 s
+    intake, decode = [], []
+    small = int(cfg.sr * 0.25)
+    for _ in range(args.reps):
+        # intake-only tick: push 0.25 s (< a window stride) everywhere
+        for sid in sids:
+            ms.push_audio(sid, (rng.standard_normal(small) * 8000
+                                ).astype(np.int16))
+        t1 = time.perf_counter()
+        ms.tick()
+        intake.append(time.perf_counter() - t1)
+        # now top every session up past the next ready window; measure the
+        # tick that actually decodes (the first one yielding frames)
+        top = int(cfg.sr * (win_stride_s + 0.3)) - small
+        for sid in sids:
+            ms.push_audio(sid, (rng.standard_normal(top) * 8000
+                                ).astype(np.int16))
+        for _ in range(8):
+            t1 = time.perf_counter()
+            out = ms.tick()
+            dt = time.perf_counter() - t1
+            if sum(out.values()) > 0:
+                decode.append(dt)
+                break
+        else:
+            raise RuntimeError("no decode tick within 8 ticks")
+        while ms.tick():  # drain any catch-up so reps stay comparable
+            pass
+
+    for sid in sids:
+        ms.flush(sid)
+        ms.close(sid)
+
+    im = np.asarray(intake) * 1e3
+    dm = np.asarray(decode) * 1e3
+    rec = {"name": args.name, "k": args.k, "fused": bool(args.fused),
+           "intake_p50_ms": round(float(np.percentile(im, 50)), 1),
+           "intake_p95_ms": round(float(np.percentile(im, 95)), 1),
+           "decode_p50_ms": round(float(np.percentile(dm, 50)), 1),
+           "decode_p95_ms": round(float(np.percentile(dm, 95)), 1)}
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
