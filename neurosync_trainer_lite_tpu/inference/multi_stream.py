@@ -194,34 +194,38 @@ class MultiStreamer:
     def __init__(self, params, cfg: Config, *, max_sessions: int = 8,
                  f_win: int = 256, trim_threshold: int = 256,
                  trim_margin: int = 64, max_buffer_seconds: float | None = None,
-                 fused_decode: bool = False,
+                 fused_decode: bool = True,
                  stall_watchdog_s: float | None = 30.0):
         self.params = params
         self.cfg = cfg
         self.max_sessions = max_sessions
         self.trim_threshold = trim_threshold
         self.trim_margin = trim_margin
-        #: fused-tick stall watchdog: two multi-minute single-tick stalls
-        #: (484 s / 806 s) were observed on the FUSED program family through
-        #: the axon tunnel across ~300 ticks, never on the two-dispatch
-        #: family (docs/PERF.md). If a fused tick exceeds this wall-time
-        #: budget, the streamer logs loudly and switches itself to the
-        #: two-dispatch family for all subsequent ticks — bounding the
-        #: damage to ONE slow tick (+ a one-time compile of the fallback
-        #: programs, which the persistent XLA cache usually absorbs). None
-        #: disables the fallback. 30 s is ~100× the fused p95 at K=12 and
-        #: well below the observed stalls.
+        #: stall watchdog: if a fused tick exceeds this wall-time budget,
+        #: the streamer logs loudly and switches itself to the two-dispatch
+        #: family for all subsequent ticks — bounding the damage to ONE
+        #: slow tick (+ a one-time compile of the fallback programs, which
+        #: the persistent XLA cache usually absorbs). The historical
+        #: 39 s–13 min "rare fused stalls" this guarded against were
+        #: root-caused in late r3 to warmup never forcing its dispatches
+        #: (see warmup()) and are fixed, but the watchdog stays as the
+        #: safety net on an unreliable link. None disables the fallback.
+        #: 30 s is ~100× the fused p95 at K=12.
         self.stall_watchdog_s = stall_watchdog_s
-        #: fused tick (OPT-IN): window gather + decode run INSIDE the tick
-        #: program — one dispatch and no feature download per tick, at most
-        #: one decoded window per session per tick (catch-up spreads over
-        #: ticks); ~20% faster steady-state than the default. NOT the
-        #: default because the fused program family sporadically stalls a
-        #: single tick for 39 s–13 min on the tunnel rig (4 stalls across
-        #: ~800 fused ticks by r3; zero across ~860 two-dispatch ticks —
-        #: docs/PERF.md). The default two-dispatch path (feature-window
-        #: download + separate cross-session batched decode, multiple
-        #: windows per tick) has never stalled.
+        #: fused tick (the default): window gather + decode run INSIDE the
+        #: tick program — one dispatch and no feature download per tick, at
+        #: most one decoded window per session per tick (catch-up spreads
+        #: over ticks). Steady-state p50 ~15 ms vs ~106 ms two-dispatch,
+        #: and the scalable family past the ~14-stream knee (per-tick cost
+        #: is dispatch/transfer-bound — docs/PERF.md knee attribution).
+        #: Was opt-in for most of r3 while the family showed rare
+        #: multi-minute single-tick stalls; those were root-caused to
+        #: warmup's unforced dispatches (fixed in warmup()) and 1000+
+        #: post-fix fused soak ticks ran stall-free (max 208.7 ms).
+        #: fused_decode=False selects the two-dispatch family
+        #: (feature-window download + separate batched decode), which
+        #: decodes multiple windows per session per tick — still the right
+        #: choice for offline catch-up-heavy feeds.
         self.fused = fused_decode
 
         self._frame_samples = int(0.01667 * cfg.sr)
@@ -529,10 +533,20 @@ class MultiStreamer:
     # -- warmup --------------------------------------------------------------
 
     def warmup(self) -> int:
-        """Pre-compile every program a deployment can touch: the tick
-        program at each active-session bucket (× both push dtypes), and —
-        unfused mode only — the decode program at each window bucket.
-        Returns the number of programs compiled."""
+        """Pre-compile AND pre-execute every program a deployment can touch:
+        the tick program at each active-session bucket (× both push dtypes),
+        and — unfused mode only — the decode program at each window bucket.
+        Returns the number of programs compiled.
+
+        The scalar fetches after each call are LOAD-BEARING, not debris: a
+        jit dispatch through this rig's remote-execution tunnel defers the
+        real first-execution cost (~20-50 s per big program) until a result
+        is actually demanded. Warmup used to dispatch the fused family
+        without ever fetching, so the process's FIRST real decode fetch
+        paid the entire warmup backlog — the long-mysterious "rare fused
+        stall" (39-806 s observed; reproduced 3/3 at 184-395 s once the
+        trigger was understood, docs/PERF.md r3). The two-dispatch family
+        never stalled precisely because its warmup fetches synchronously."""
         rng = np.random.default_rng(0)
         kcap = self._kcap
         n = 0
@@ -544,7 +558,7 @@ class MultiStreamer:
                         np.asarray(noise * 3000, np.int16)):
                 buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
                 if self.fused:
-                    _tick_fused(
+                    _, dec = _tick_fused(
                         self.params, buf, jnp.arange(k, dtype=jnp.int32),
                         jnp.asarray(new), jnp.zeros(k, jnp.int32),
                         jnp.zeros(k, jnp.int32),
@@ -552,15 +566,17 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.cfg.frame_size, jnp.int32),
                         sr=self.cfg.sr, cfg=self.cfg)
+                    float(dec[0, 0, 0])  # force the deferred execution NOW
                     # intake-only variant (most live ticks decode nothing)
-                    _tick_ring_only(
+                    rb = _tick_ring_only(
                         jnp.zeros((kcap, self._s_cap), jnp.float32),
                         jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
                         jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.push_capacity, jnp.int32))
+                    float(rb[0, 0])
                     n += 1
                 else:
-                    _tick_program(
+                    _, wins = _tick_program(
                         buf, jnp.arange(k, dtype=jnp.int32),
                         jnp.asarray(new),
                         jnp.zeros(k, jnp.int32),
@@ -569,6 +585,7 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         sr=self.cfg.sr, f_win=self.f_win,
                         feat_dtype=self._feat_dtype)
+                    float(wins[0, 0, 0])
                 n += 1
             k *= 2
         if self.fused:

@@ -44,7 +44,7 @@ MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
 def make_handler(params, cfg: Config, *, max_sessions: int = 8,
-                 fused_ticks: bool = False):
+                 fused_ticks: bool = True):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -177,7 +177,7 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
 
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
           *, server_class=HTTPServer, max_sessions: int = 8,
-          fused_ticks: bool = False):
+          fused_ticks: bool = True):
     httpd = server_class((host, port),
                          make_handler(params, cfg, max_sessions=max_sessions,
                                       fused_ticks=fused_ticks))
@@ -205,15 +205,14 @@ def main(argv=None):
                         help="skip startup pre-compilation (first live "
                         "session then pays the XLA compiles)")
     parser.add_argument("--fused_ticks", action="store_true",
-                        help="OPT-IN fused tick family: ~20% faster steady "
-                        "state, but it sporadically stalls a single tick "
-                        "for 39 s–13 min on tunnel-like links (4 stalls / "
-                        "~800 fused ticks measured; zero on the default "
-                        "two-dispatch family — docs/PERF.md). A stall "
-                        "watchdog auto-falls-back after the first breach.")
+                        help="(no-op: fused ticks are the default again — "
+                        "their historical rare stalls were root-caused to "
+                        "unforced warmup dispatches and fixed, docs/PERF.md)")
     parser.add_argument("--two_dispatch_ticks", action="store_true",
-                        help="(deprecated no-op: two-dispatch is the "
-                        "default now; use --fused_ticks to opt in)")
+                        help="opt out of fused ticks: feature-window "
+                        "download + separate batched decode (multiple "
+                        "windows per session per tick — better for "
+                        "offline catch-up-heavy feeds)")
     args = parser.parse_args(argv)
 
     import jax
@@ -231,7 +230,7 @@ def main(argv=None):
     params = load_model(args.model, cfg)
     httpd = serve(params, cfg, args.host, args.port,
                   max_sessions=args.max_sessions,
-                  fused_ticks=args.fused_ticks)
+                  fused_ticks=not args.two_dispatch_ticks)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)

@@ -37,6 +37,14 @@ def main():
     p.add_argument("--watchdog", default=None,
                    help="stall watchdog seconds; '-' disables; default: "
                         "production default (30)")
+    p.add_argument("--pressure", type=int, default=0,
+                   help="r3 stall root-cause probe: compile-and-run N "
+                        "DISTINCT dummy programs every --pressure-every "
+                        "ticks to force server-side executable-cache "
+                        "pressure. If the rare fused-tick stall is an "
+                        "eviction+recompile of the big fused program, "
+                        "stalls should become reproducible on demand.")
+    p.add_argument("--pressure-every", type=int, default=25)
     args = p.parse_args()
 
     import numpy as np
@@ -72,11 +80,40 @@ def main():
     def audio():
         return (rng.standard_normal(push) * 8000).astype(np.int16)
 
+    import jax.numpy as jnp
+
+    pressure_n = [0]  # unique-shape counter across the whole run
+
+    def apply_pressure(n_programs):
+        """Compile + run n distinct never-seen programs (unique static
+        shapes → unique executables). Each is a chain of matmuls so the
+        executable has some size; runtime is trivial. Pressure compiles are
+        intentionally NOT interesting to the persistent cache (unique
+        shapes per run via the monotonic counter + pid)."""
+        t0 = time.perf_counter()
+        for _ in range(n_programs):
+            pressure_n[0] += 1
+            n = 256 + 8 * ((os.getpid() + pressure_n[0]) % 1024)
+
+            def chain(x):
+                for _ in range(8):
+                    x = jnp.tanh(x @ x)
+                return x.sum()
+
+            float(jax.jit(chain)(jnp.ones((n, n), jnp.bfloat16) * 1e-3))
+        return time.perf_counter() - t0
+
     sids = [ms.open() for _ in range(args.sessions)]
     frames = {sid: 0 for sid in sids}
     lat = []
     flipped_at = None
+    pressure_ticks = set()
     for t in range(args.ticks):
+        if args.pressure and t and t % args.pressure_every == 0:
+            dt_p = apply_pressure(args.pressure)
+            pressure_ticks.add(t)
+            print(f"tick {t}: pressure burst ({args.pressure} programs, "
+                  f"{dt_p:.1f} s)", flush=True)
         if args.churn and t and t % args.churn == 0:
             old = sids.pop(0)
             ms.flush(old)
@@ -93,6 +130,13 @@ def main():
         lat.append(dt)
         for sid, n in out.items():
             frames[sid] = frames.get(sid, 0) + n
+        if dt > 5.0:
+            # slow-tick forensics: distance to the last pressure burst is
+            # the causal signal (stall right after a burst = eviction)
+            since = (t - max((pt for pt in pressure_ticks if pt <= t),
+                             default=-1)) if pressure_ticks else None
+            print(f"tick {t}: SLOW {dt:.1f} s "
+                  f"(ticks since pressure burst: {since})", flush=True)
         if flipped_at is None and bool(args.fused) and not ms.fused:
             flipped_at = t
             print(f"watchdog flipped to two-dispatch at tick {t} "
@@ -114,6 +158,8 @@ def main():
         "p99_ms": round(float(np.percentile(ms_lat, 99)), 1),
         "max_ms": round(float(ms_lat.max()), 1),
         "stalls_over_30s": int((ms_lat > 30_000).sum()),
+        "slow_over_5s": int((ms_lat > 5_000).sum()),
+        "pressure": args.pressure, "pressure_every": args.pressure_every,
         "watchdog_flip_tick": flipped_at,
         "total_frames": int(sum(frames.values())),
     }
