@@ -532,11 +532,18 @@ class MultiStreamer:
 
     # -- warmup --------------------------------------------------------------
 
-    def warmup(self) -> int:
+    def warmup(self, warm_fallback: bool = True) -> int:
         """Pre-compile AND pre-execute every program a deployment can touch:
         the tick program at each active-session bucket (× both push dtypes),
-        and — unfused mode only — the decode program at each window bucket.
-        Returns the number of programs compiled.
+        plus the decode program at each window bucket for the two-dispatch
+        family. Returns the number of programs compiled.
+
+        warm_fallback (fused mode only): also warm the two-dispatch family
+        the stall watchdog falls back to, so a mid-session flip costs one
+        slow tick — not a live session stalled behind fresh XLA compiles of
+        the whole fallback program set. False trades that safety for a
+        faster warmup (the persistent cache usually absorbs the flip cost
+        on a machine that has ever run two-dispatch mode).
 
         The scalar fetches after each call are LOAD-BEARING, not debris: a
         jit dispatch through this rig's remote-execution tunnel defers the
@@ -575,7 +582,9 @@ class MultiStreamer:
                         jnp.full(k, self.push_capacity, jnp.int32))
                     float(rb[0, 0])
                     n += 1
-                else:
+                if not self.fused or warm_fallback:
+                    if self.fused:  # buf was donated to _tick_fused above
+                        buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
                     _, wins = _tick_program(
                         buf, jnp.arange(k, dtype=jnp.int32),
                         jnp.asarray(new),
@@ -586,9 +595,9 @@ class MultiStreamer:
                         sr=self.cfg.sr, f_win=self.f_win,
                         feat_dtype=self._feat_dtype)
                     float(wins[0, 0, 0])
-                n += 1
+                    n += 1
             k *= 2
-        if self.fused:
+        if self.fused and not warm_fallback:
             return n  # the decode rides inside the fused tick
         cfg = self.cfg
         # worst case per session per tick: a full f_win backlog during a
