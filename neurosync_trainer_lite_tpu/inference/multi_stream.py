@@ -545,17 +545,23 @@ class MultiStreamer:
         faster warmup (the persistent cache usually absorbs the flip cost
         on a machine that has ever run two-dispatch mode).
 
-        The scalar fetches after each call are LOAD-BEARING, not debris: a
-        jit dispatch through this rig's remote-execution tunnel defers the
-        real first-execution cost (~20-50 s per big program) until a result
-        is actually demanded. Warmup used to dispatch the fused family
-        without ever fetching, so the process's FIRST real decode fetch
-        paid the entire warmup backlog — the long-mysterious "rare fused
-        stall" (39-806 s observed; reproduced 3/3 at 184-395 s once the
-        trigger was understood, docs/PERF.md r3). The two-dispatch family
-        never stalled precisely because its warmup fetches synchronously."""
+        The scalar fetches (the `pending` force pass) are LOAD-BEARING, not
+        debris: a jit dispatch through this rig's remote-execution tunnel
+        defers the real first-execution cost (~20-50 s per big program)
+        until a result is actually demanded. Warmup used to dispatch the
+        fused family without ever fetching, so the process's FIRST real
+        decode fetch paid the entire warmup backlog — the long-mysterious
+        "rare fused stall" (39-806 s observed; reproduced 3/3 at 184-395 s
+        once the trigger was understood, docs/PERF.md r3). The two-dispatch
+        family never stalled precisely because its warmup fetches
+        synchronously. Forcing happens in a second pass (not per dispatch)
+        so program i+1's client-side compile overlaps program i's
+        server-side first execution — executions on one device retire in
+        dispatch order, so the pass drains the whole backlog before warmup
+        returns either way."""
         rng = np.random.default_rng(0)
         kcap = self._kcap
+        pending = []  # one output per warmed program, forced below
         n = 0
         k = 1
         while k <= kcap:
@@ -573,14 +579,14 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.cfg.frame_size, jnp.int32),
                         sr=self.cfg.sr, cfg=self.cfg)
-                    float(dec[0, 0, 0])  # force the deferred execution NOW
+                    pending.append(dec)
                     # intake-only variant (most live ticks decode nothing)
                     rb = _tick_ring_only(
                         jnp.zeros((kcap, self._s_cap), jnp.float32),
                         jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
                         jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.push_capacity, jnp.int32))
-                    float(rb[0, 0])
+                    pending.append(rb)
                     n += 1
                 if not self.fused or warm_fallback:
                     if self.fused:  # buf was donated to _tick_fused above
@@ -594,10 +600,17 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         sr=self.cfg.sr, f_win=self.f_win,
                         feat_dtype=self._feat_dtype)
-                    float(wins[0, 0, 0])
+                    pending.append(wins)
                     n += 1
             k *= 2
+
+        def drain():
+            for a in pending:
+                float(a.ravel()[0])  # force the deferred execution
+            pending.clear()
+
         if self.fused and not warm_fallback:
+            drain()
             return n  # the decode rides inside the fused tick
         cfg = self.cfg
         # worst case per session per tick: a full f_win backlog during a
@@ -608,6 +621,8 @@ class MultiStreamer:
         per_session = max(1, -(-(self.f_win - cfg.overlap) // stride) + 1)
         m = 1
         while m <= pow2_bucket(kcap * per_session):
+            # sync by construction (returns np) — also drains everything
+            # dispatched before it, in device order
             decode_chunks_batched(
                 self.params,
                 rng.standard_normal(
@@ -615,4 +630,5 @@ class MultiStreamer:
                 cfg)
             n += 1
             m *= 2
+        drain()
         return n
