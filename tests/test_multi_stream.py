@@ -224,6 +224,21 @@ def test_tick_program_cache_bounded_and_warmup_covers_it(setup, fused):
     assert _decode_fn(cfg)._cache_size() == decode_after_warm
 
 
+def test_warmup_covers_the_watchdog_fallback_family(setup):
+    """Fused warmup() warms the two-dispatch family too by default, so a
+    stall-watchdog flip mid-session compiles nothing new; warm_fallback=
+    False warms only the fused family. The program counts must tile:
+    full fused warmup == lean fused warmup + a two-dispatch warmup."""
+    cfg, params = setup
+    n_full = _multi(params, cfg, max_sessions=2, fused_decode=True).warmup()
+    n_lean = _multi(params, cfg, max_sessions=2,
+                    fused_decode=True).warmup(warm_fallback=False)
+    n_unfused = _multi(params, cfg, max_sessions=2,
+                       fused_decode=False).warmup()
+    assert 0 < n_lean < n_full
+    assert n_full == n_lean + n_unfused
+
+
 def test_device_fault_recovers_from_host_shadows(setup, monkeypatch):
     """A device failure mid-session (tunnel flap, preemption) loses the HBM
     rings; the tick must rebuild every session from its host shadow and
