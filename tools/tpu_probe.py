@@ -48,7 +48,7 @@ def main():
                             "attndrop-skip", "attndrop-bf16",
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
                             "ffn-nokeep", "dropout-regen", "mask-lean",
-                            "unroll-dec-tail"),
+                            "unroll-dec-tail", "unroll-remat-head"),
                    help="ablate/prototype a component (diagnostic only)")
     p.add_argument("--unroll-residents", type=int, default=1,
                    help="Config.unroll_residents (1 = shipped default; 0 "
@@ -265,6 +265,30 @@ def main():
                             train=train and scope == "decoder")
 
         s2s._scan_layers = dec_tail_only
+
+    if args.patch == "unroll-remat-head":
+        # prototype: unroll the REMAT'D head layers too (per-layer
+        # jax.checkpoint in a Python loop instead of lax.scan) — the
+        # post-unroll trace still shows the remat scan's stat fusions and
+        # carry DUS among the top ops; this asks whether freeing those is
+        # worth the extra code size.
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+
+        def unroll_everything(body, x, xs, cfg, scope, train=False):
+            n_layers = cfg.n_layers
+            k = cfg.remat_layers
+            in_scope = cfg.remat and cfg.remat_scope in ("all", scope)
+            if not in_scope or k < 0 or k >= n_layers:
+                if not in_scope and train:
+                    return s2s._unrolled_layers(body, x, xs, 0, n_layers)
+                x, _ = jax.lax.scan(s2s._maybe_remat(body, cfg, scope), x, xs)
+                return x
+            rbody = s2s._maybe_remat(body, cfg, scope)
+            for i in range(k):
+                x, _ = rbody(x, jax.tree.map(lambda a, i=i: a[i], xs))
+            return s2s._unrolled_layers(body, x, xs, k, n_layers)
+
+        s2s._scan_layers = unroll_everything
 
     if args.unroll > 0:
         # prototype: unroll the layer scans so XLA can interleave/schedule
