@@ -536,7 +536,8 @@ class MultiStreamer:
         """Pre-compile AND pre-execute every program a deployment can touch:
         the tick program at each active-session bucket (× both push dtypes),
         plus the decode program at each window bucket for the two-dispatch
-        family. Returns the number of programs compiled.
+        family. Returns the number of executables warmed (each fused
+        bucket warms two: the decode tick and the ring-only intake tick).
 
         warm_fallback (fused mode only): also warm the two-dispatch family
         the stall watchdog falls back to, so a mid-session flip costs one
@@ -561,7 +562,13 @@ class MultiStreamer:
         returns either way."""
         rng = np.random.default_rng(0)
         kcap = self._kcap
-        pending = []  # one output per warmed program, forced below
+        pending = []  # one scalar gather per warmed program, forced below
+        #               (scalars, not the outputs themselves: retaining
+        #               every [K_cap, S_cap] ring output until drain would
+        #               hold ~GBs of HBM at large max_sessions — the gather
+        #               is enqueued behind its program, so forcing it
+        #               forces the program, and the big output frees as
+        #               soon as the gather retires)
         n = 0
         k = 1
         while k <= kcap:
@@ -579,15 +586,15 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.cfg.frame_size, jnp.int32),
                         sr=self.cfg.sr, cfg=self.cfg)
-                    pending.append(dec)
+                    pending.append(dec[0, 0, 0])
                     # intake-only variant (most live ticks decode nothing)
                     rb = _tick_ring_only(
                         jnp.zeros((kcap, self._s_cap), jnp.float32),
                         jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
                         jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.push_capacity, jnp.int32))
-                    pending.append(rb)
-                    n += 1
+                    pending.append(rb[0, 0])
+                    n += 2
                 if not self.fused or warm_fallback:
                     if self.fused:  # buf was donated to _tick_fused above
                         buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
@@ -600,13 +607,13 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32),
                         sr=self.cfg.sr, f_win=self.f_win,
                         feat_dtype=self._feat_dtype)
-                    pending.append(wins)
+                    pending.append(wins[0, 0, 0])
                     n += 1
             k *= 2
 
         def drain():
             for a in pending:
-                float(a.ravel()[0])  # force the deferred execution
+                float(a)  # force the deferred execution chain behind it
             pending.clear()
 
         if self.fused and not warm_fallback:

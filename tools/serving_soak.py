@@ -93,7 +93,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_programs):
             pressure_n[0] += 1
-            n = 256 + 8 * ((os.getpid() + pressure_n[0]) % 1024)
+            # monotonic within the run (never wraps back onto an earlier
+            # shape → never served by the compile caches mid-run); pid
+            # offsets runs from each other
+            n = 256 + 8 * (os.getpid() % 64) + 16 * pressure_n[0]
 
             def chain(x):
                 for _ in range(8):

@@ -274,15 +274,17 @@ def main():
         # worth the extra code size.
         from neurosync_trainer_lite_tpu.models import seq2seq as s2s
 
+        _shipped_scan = s2s._scan_layers
+
         def unroll_everything(body, x, xs, cfg, scope, train=False):
             n_layers = cfg.n_layers
             k = cfg.remat_layers
             in_scope = cfg.remat and cfg.remat_scope in ("all", scope)
-            if not in_scope or k < 0 or k >= n_layers:
-                if not in_scope and train:
-                    return s2s._unrolled_layers(body, x, xs, 0, n_layers)
-                x, _ = jax.lax.scan(s2s._maybe_remat(body, cfg, scope), x, xs)
-                return x
+            # same gates as the shipped _scan_layers: inference and
+            # --unroll-residents 0 keep shipped behavior exactly
+            if (not (train and cfg.unroll_residents) or not in_scope
+                    or k < 0 or k >= n_layers):
+                return _shipped_scan(body, x, xs, cfg, scope, train=train)
             rbody = s2s._maybe_remat(body, cfg, scope)
             for i in range(k):
                 x, _ = rbody(x, jax.tree.map(lambda a, i=i: a[i], xs))
