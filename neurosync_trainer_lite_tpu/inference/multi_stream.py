@@ -227,6 +227,11 @@ class MultiStreamer:
         #: decodes multiple windows per session per tick — still the right
         #: choice for offline catch-up-heavy feeds.
         self.fused = fused_decode
+        #: fused program signatures (bucket × dtype × decode/ring) whose
+        #: first execution already happened (warmup or a live tick) — the
+        #: watchdog exempts a signature's first use so an uncovered
+        #: bucket's cold XLA compile isn't misread as a stall
+        self._fused_seen: set = set()
 
         self._frame_samples = int(0.01667 * cfg.sr)
         if self._frame_samples % 2:
@@ -458,7 +463,19 @@ class MultiStreamer:
             return self.tick(final_ids=final_ids, _retry=False)
 
         dt = time.perf_counter() - t0
-        if (fused and self.stall_watchdog_s is not None
+        # first use of a fused program signature (session bucket × upload
+        # dtype) legitimately pays its XLA compile when warmup() didn't
+        # cover it (--no_warmup, or a bucket outside the warmed set) —
+        # exempt it so a 30 s+ cold compile isn't misread as a stall and
+        # doesn't permanently downgrade the streamer the operator chose.
+        # (Intake-only ticks don't fetch, so a stall there surfaces at —
+        # and is bounded by — the next decode tick's fetch; the budget
+        # applies to fetch-bearing ticks by design.)
+        sig = (k, new.dtype.str, bool(fused_plans))
+        first_use = fused and sig not in self._fused_seen
+        if fused:
+            self._fused_seen.add(sig)
+        if (fused and not first_use and self.stall_watchdog_s is not None
                 and dt > self.stall_watchdog_s):
             print(f"serving tick took {dt:.1f} s (watchdog budget "
                   f"{self.stall_watchdog_s:.0f} s) — switching this streamer "
@@ -594,6 +611,10 @@ class MultiStreamer:
                         jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
                         jnp.full(k, self.push_capacity, jnp.int32))
                     pending.append(rb[0, 0])
+                    # warmed signatures get full watchdog protection from
+                    # their very first live tick
+                    self._fused_seen.add((k, new.dtype.str, True))
+                    self._fused_seen.add((k, new.dtype.str, False))
                     n += 2
                 if not self.fused or warm_fallback:
                     if self.fused:  # buf was donated to _tick_fused above

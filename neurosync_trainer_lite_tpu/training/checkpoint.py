@@ -21,6 +21,7 @@ import threading
 from datetime import datetime
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from neurosync_trainer_lite_tpu.config import Config
@@ -71,13 +72,26 @@ def wait_for_pending_saves() -> None:
     for path, meta in _pending_meta:
         _write_meta(path, meta)
     _pending_meta.clear()
-    if _export_errors:
+    failed = bool(_export_errors)
+    if jax.process_count() > 1:
+        # propagate the failure flag to EVERY process before raising:
+        # exports run on process 0 only, and a lone process-0 raise would
+        # leave the others blocked forever at the next collective barrier
+        # (sync_global_devices) instead of failing the job fast
+        from jax.experimental import multihost_utils
+
+        any_failed = multihost_utils.process_allgather(
+            np.asarray([1 if failed else 0], np.int32))
+        failed = bool(any_failed.sum())
+    if failed:
         # a failed model.pth export (disk full, serialization error) must not
         # pass silently — the per-epoch export would otherwise go stale with
         # only a stderr excepthook trace as evidence (ADVICE r2)
-        err = _export_errors[0]
+        err = _export_errors[0] if _export_errors else None
         _export_errors.clear()
-        raise RuntimeError("async model.pth export failed") from err
+        raise RuntimeError("async model.pth export failed"
+                           + ("" if err is not None else
+                              " on another process")) from err
 
 
 def _barrier(tag: str) -> None:

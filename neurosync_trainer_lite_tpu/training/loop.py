@@ -372,6 +372,7 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     start_epoch, batch_step = 0, 0
+    restored_sharded = False
     if cfg.mode == "resume" and os.path.exists(cfg.checkpoint_path):
         # with a mesh, restore directly into the mesh shardings (collective
         # in multi-process jobs: each process reads its addressable shards)
@@ -382,11 +383,15 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             shardings = state_shardings(cfg, mesh, tx)
         start_epoch, batch_step, state = load_checkpoint(
             cfg.checkpoint_path, cfg, steps_per_epoch, shardings=shardings)
+        restored_sharded = shardings is not None
         start_epoch += 1
         if verbose:
             print(f"Resumed from {cfg.checkpoint_path} at epoch {start_epoch}")
 
-    if mesh is not None:
+    if mesh is not None and not restored_sharded:
+        # the restore path already landed the state on the mesh; re-sharding
+        # would recompute state_shardings (a second AOT tx.init lowering)
+        # and re-device_put the ~GB restored state for nothing
         state = shard_state(state, cfg, mesh, tx)
 
     total_steps = max(2, steps_per_epoch * cfg.n_epochs)

@@ -63,34 +63,17 @@ def test_flagship_sharded_program_compiles():
     ~3 min of pure XLA compile."""
     cfg = full_config(dp=4, tp=2)
     mesh = make_mesh(cfg)
-    from neurosync_trainer_lite_tpu.parallel.mesh import param_shardings
-
-    # abstract TrainState with the real shardings attached
-    abs_params = jax.tree.map(
-        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
-        jax.eval_shape(
-            lambda: init_train_state(cfg, steps_per_epoch=10)[0].params),
-        param_shardings(cfg, mesh))
     from neurosync_trainer_lite_tpu.training.optim import make_optimizer
+    from neurosync_trainer_lite_tpu.training.step import state_shardings
+
     tx = make_optimizer(cfg, steps_per_epoch=10)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    init_compiled = jax.jit(tx.init).lower(abs_params).compile()
-    rep = NamedSharding(mesh, P())
-
-    def _on_mesh(s):
-        # AOT tx.init leaves scalars (step counters) on device 0; in the
-        # train step they are replicated over the whole mesh
-        return s if (isinstance(s, NamedSharding)
-                     and len(s.device_set) == mesh.size) else rep
-
-    abs_opt = jax.tree.map(
-        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype,
-                                          sharding=_on_mesh(s)),
-        jax.eval_shape(tx.init, abs_params),
-        init_compiled.output_shardings)
-    from neurosync_trainer_lite_tpu.training.step import TrainState
-    abs_state = TrainState(abs_params, abs_opt)
+    # abstract TrainState with the PRODUCTION sharding rules attached —
+    # the same state_shardings shard_state and the collective checkpoint
+    # restore use, so this compiles the program train_model actually runs
+    abs_state = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        jax.eval_shape(lambda: init_train_state(cfg, steps_per_epoch=10)[0]),
+        state_shardings(cfg, mesh, tx))
 
     bs = batch_sharding(mesh)
     abs_src = jax.ShapeDtypeStruct(

@@ -221,9 +221,10 @@ def test_auto_remat_planner_decisions():
 
 
 def test_auto_remat_residency_cap_is_scoped_to_v5e():
-    """The 2/1-resident-layer caps are v5e MEASUREMENTS; on other chips the
-    planner must keep whatever fits (fit-derived) instead of silently
-    applying another chip's numbers (VERDICT r2 weak #4)."""
+    """The 6-resident-layer cap is a v5e MEASUREMENT (r3 mask-lean sweep);
+    on other chips the planner must keep whatever fits (fit-derived)
+    instead of silently applying another chip's numbers (VERDICT r2 weak
+    #4)."""
     from unittest import mock
 
     from neurosync_trainer_lite_tpu.config import full_config

@@ -119,8 +119,9 @@ def main():
                   f"{dt_p:.1f} s)", flush=True)
         if args.churn and t and t % args.churn == 0:
             old = sids.pop(0)
-            ms.flush(old)
-            frames[old] += 0  # final count already tracked via pop below
+            # flush() returns the tail frames it finalized (its internal
+            # ticks aren't seen by the loop below) — count them
+            frames[old] = frames.get(old, 0) + ms.flush(old)
             ms.pop_frames(old)
             ms.close(old)
             sids.append(ms.open())
@@ -148,7 +149,7 @@ def main():
             print(f"tick {t}: {dt * 1e3:.0f} ms, "
                   f"{sum(frames.values())} frames total", flush=True)
     for sid in sids:
-        ms.flush(sid)
+        frames[sid] = frames.get(sid, 0) + ms.flush(sid)
         ms.pop_frames(sid)
         ms.close(sid)
 
