@@ -66,6 +66,29 @@ from neurosync_trainer_lite_tpu.ops.frontend import (
 
 
 
+def session_bucket(n: int) -> int:
+    """Next session-count bucket ≥ n from the ladder
+    1, 2, 4, 8, 16, 24, 32, 48, … (pow2 plus a midpoint above 8).
+
+    Per-tick cost is bucket-shaped — every live session count inside a
+    bucket pays the whole bucket's program (measured: K=12 and K=16 cost
+    the same in the pow2-16 bucket, and K=17-24 all paid the pow2-32
+    bucket's p95 896 ms, well past the 500 ms budget — docs/PERF.md).
+    The 24 midpoint softens the 16→32 jump (K=20 measured p95 566 vs
+    bucket-32's 896). A 12 midpoint was probed and REJECTED: 12 rows are
+    not a sublane multiple and the bucket-12 program measured SLOWER than
+    bucket-16 with fewer live sessions (p95 477 vs 397 under the same
+    tunnel conditions) — midpoints must stay 8-aligned. Deployments with
+    max_sessions ≤ 16 see the identical pow2 set."""
+    b = 1
+    while True:
+        if n <= b:
+            return b
+        if b >= 16 and n <= b + b // 2:
+            return b + b // 2
+        b *= 2
+
+
 def _ring_update(b, nw, sh, bl, nl):
     """Shared per-row ring update for every tick variant: trim-shift, clear
     rolled-in garbage, widen int16 pushes, clamp-free roll-append.
@@ -256,7 +279,7 @@ class MultiStreamer:
         self._t60_cap = num_frames_120(self._s_cap, self._frame_samples) // 2
         self.f_win = min(f_win, self._t60_cap)
 
-        kcap = pow2_bucket(max_sessions)
+        kcap = session_bucket(max_sessions)
         self._kcap = kcap
         # bf16 feature download when the model computes bf16 (bit-identical
         # decode, half the bytes of the dominant per-tick transfer)
@@ -357,7 +380,7 @@ class MultiStreamer:
         if not work:
             return {}
 
-        k = pow2_bucket(len(work))
+        k = session_bucket(len(work))
         P = self.push_capacity
         # upload dtype: raw int16 (half the bytes; widened on device) when
         # every queued piece this tick is int16, else fp32 with int16 pieces
@@ -588,7 +611,7 @@ class MultiStreamer:
         #               soon as the gather retires)
         n = 0
         k = 1
-        while k <= kcap:
+        while True:
             # both upload-dtype variants: fp32 pushes and raw-int16 pushes
             noise = rng.standard_normal((k, self.push_capacity))
             for new in (np.asarray(noise * 0.1, np.float32),
@@ -630,7 +653,9 @@ class MultiStreamer:
                         feat_dtype=self._feat_dtype)
                     pending.append(wins[0, 0, 0])
                     n += 1
-            k *= 2
+            if k >= kcap:
+                break
+            k = session_bucket(k + 1)  # walk the ladder, not just pow2
 
         def drain():
             for a in pending:
