@@ -106,6 +106,39 @@ def test_stall_watchdog_switches_to_two_dispatch_mid_session(setup):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_stall_watchdog_exempts_first_use_of_a_program_signature(setup):
+    """The first tick on a fused program signature (bucket × dtype ×
+    decode/ring) may legitimately pay a cold XLA compile when warmup()
+    didn't cover it — the watchdog must not read that as a stall; the
+    SECOND breach on a now-seen signature must still flip. warmup()
+    pre-marks its signatures so warmed deployments keep full protection
+    from the first live tick."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    chunk = (rng.standard_normal(cfg.sr // 2) * 0.4).astype(np.float32)
+
+    # no warmup, watchdog -1: every fused tick "breaches" the budget
+    ms = _multi(params, cfg, max_sessions=1, fused_decode=True,
+                stall_watchdog_s=-1.0)
+    sid = ms.open()
+    ms.push_audio(sid, chunk)
+    ms.tick()  # first use of this tick-program signature → exempt
+    assert ms.fused is True, (
+        "watchdog flipped on a first-use signature (cold-compile misread)")
+    ms.push_audio(sid, chunk)
+    ms.tick()  # same signature, second breach → flips
+    assert ms.fused is False
+
+    # warmed streamer: signatures pre-marked → the FIRST live breach flips
+    ms2 = _multi(params, cfg, max_sessions=1, fused_decode=True,
+                 stall_watchdog_s=-1.0)
+    ms2.warmup(warm_fallback=False)
+    sid2 = ms2.open()
+    ms2.push_audio(sid2, chunk)
+    ms2.tick()
+    assert ms2.fused is False, "warmed signature must keep full protection"
+
+
 def test_stall_watchdog_disabled_with_none(setup):
     cfg, params = setup
     ms = _multi(params, cfg, max_sessions=1, fused_decode=True,
