@@ -71,6 +71,60 @@ def test_multi_matches_independent_single_streamers(setup, fused):
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.parametrize("seed", [21, 22])
+def test_randomized_schedule_matches_oracle(setup, seed):
+    """Fuzz the serving surface: random push sizes (including empty ticks),
+    mixed int16/fp32 pushes, and mid-run session churn — every session's
+    final stream must match its own BlendshapeStreamer oracle fed the same
+    (widened) samples at the same cadence."""
+    cfg, params = setup
+    rng = np.random.default_rng(seed)
+    ms = _multi(params, cfg, max_sessions=3)
+
+    active = {}   # sid -> (oracle, remaining ticks before close)
+    done = []
+
+    def open_session():
+        sid = ms.open()
+        active[sid] = (_single(params, cfg), int(rng.integers(6, 14)))
+
+    open_session()
+    open_session()
+    for r in range(26):
+        for sid in list(active):
+            single, ttl = active[sid]
+            n = int(rng.integers(0, cfg.sr // 2))
+            if n:
+                if rng.random() < 0.5:   # int16 capture-format push
+                    chunk = (rng.standard_normal(n) * 9000).astype(np.int16)
+                    ms.push_audio(sid, chunk)
+                    single.push_audio(chunk.astype(np.float32) / 32768.0)
+                else:
+                    chunk = (rng.standard_normal(n) * 0.3).astype(np.float32)
+                    ms.push_audio(sid, chunk)
+                    single.push_audio(chunk)
+            active[sid] = (single, ttl - 1)
+        ms.tick()
+        for sid in [s for s, (_, ttl) in active.items() if ttl <= 0]:
+            single, _ = active.pop(sid)
+            ms.flush(sid)
+            single.flush()
+            got, want = ms.pop_frames(sid), single.pop_frames()
+            ms.close(sid)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+            done.append(sid)
+            if len(active) < 2:
+                open_session()
+    for sid, (single, _) in active.items():
+        ms.flush(sid)
+        single.flush()
+        got, want = ms.pop_frames(sid), single.pop_frames()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+    assert done, "no session completed its lifecycle in the fuzz run"
+
+
 def test_stall_watchdog_switches_to_two_dispatch_mid_session(setup):
     """A fused tick over the watchdog budget must flip the streamer to the
     two-dispatch family for subsequent ticks — and the live sessions must
