@@ -46,6 +46,7 @@ pending queue.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -572,7 +573,7 @@ class MultiStreamer:
 
     # -- warmup --------------------------------------------------------------
 
-    def warmup(self, warm_fallback: bool = True) -> int:
+    def warmup(self, warm_fallback: bool = True, parallel: int = 1) -> int:
         """Pre-compile AND pre-execute every program a deployment can touch:
         the tick program at each active-session bucket (× both push dtypes),
         plus the decode program at each window bucket for the two-dispatch
@@ -586,6 +587,15 @@ class MultiStreamer:
         faster warmup (the persistent cache usually absorbs the flip cost
         on a machine that has ever run two-dispatch mode).
 
+        parallel: cold-start compiles are client-CPU-bound (~10-20 s of XLA
+        per big program, serialized by a single dispatch thread); >1 runs
+        the warm thunks on a thread pool to overlap the compiles across
+        cores (jit is thread-safe; each thunk builds its own buffers, so no
+        donated array is shared — exercised at 4 by the CPU test suite).
+        The default stays SERIAL: the one attempt to validate parallel
+        warmup through the axon tunnel coincided with a multi-hour tunnel
+        wedge, so its RPC concurrency remains unproven on that backend.
+
         The scalar fetches (the `pending` force pass) are LOAD-BEARING, not
         debris: a jit dispatch through this rig's remote-execution tunnel
         defers the real first-execution cost (~20-50 s per big program)
@@ -595,93 +605,97 @@ class MultiStreamer:
         "rare fused stall" (39-806 s observed; reproduced 3/3 at 184-395 s
         once the trigger was understood, docs/PERF.md r3). The two-dispatch
         family never stalled precisely because its warmup fetches
-        synchronously. Forcing happens in a second pass (not per dispatch)
-        so program i+1's client-side compile overlaps program i's
-        server-side first execution — executions on one device retire in
-        dispatch order, so the pass drains the whole backlog before warmup
-        returns either way."""
+        synchronously. Each thunk returns only a scalar GATHER of its
+        program's output (retaining every [K_cap, S_cap] ring output until
+        the drain would hold ~GBs of HBM at large max_sessions); the drain
+        pass then forces the gathers — executions on one device retire in
+        dispatch order, so the whole backlog lands before warmup returns."""
         rng = np.random.default_rng(0)
         kcap = self._kcap
-        pending = []  # one scalar gather per warmed program, forced below
-        #               (scalars, not the outputs themselves: retaining
-        #               every [K_cap, S_cap] ring output until drain would
-        #               hold ~GBs of HBM at large max_sessions — the gather
-        #               is enqueued behind its program, so forcing it
-        #               forces the program, and the big output frees as
-        #               soon as the gather retires)
-        n = 0
+        cfg = self.cfg
+        thunks = []   # each dispatches one program, returns a scalar gather
         k = 1
         while True:
             # both upload-dtype variants: fp32 pushes and raw-int16 pushes
             noise = rng.standard_normal((k, self.push_capacity))
             for new in (np.asarray(noise * 0.1, np.float32),
                         np.asarray(noise * 3000, np.int16)):
-                buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
                 if self.fused:
-                    _, dec = _tick_fused(
-                        self.params, buf, jnp.arange(k, dtype=jnp.int32),
-                        jnp.asarray(new), jnp.zeros(k, jnp.int32),
-                        jnp.zeros(k, jnp.int32),
-                        jnp.full(k, self.push_capacity, jnp.int32),
-                        jnp.zeros(k, jnp.int32),
-                        jnp.full(k, self.cfg.frame_size, jnp.int32),
-                        sr=self.cfg.sr, cfg=self.cfg)
-                    pending.append(dec[0, 0, 0])
+                    def _warm_fused(k=k, new=new):
+                        _, dec = _tick_fused(
+                            self.params,
+                            jnp.zeros((kcap, self._s_cap), jnp.float32),
+                            jnp.arange(k, dtype=jnp.int32),
+                            jnp.asarray(new), jnp.zeros(k, jnp.int32),
+                            jnp.zeros(k, jnp.int32),
+                            jnp.full(k, self.push_capacity, jnp.int32),
+                            jnp.zeros(k, jnp.int32),
+                            jnp.full(k, cfg.frame_size, jnp.int32),
+                            sr=cfg.sr, cfg=cfg)
+                        return dec[0, 0, 0]
+
                     # intake-only variant (most live ticks decode nothing)
-                    rb = _tick_ring_only(
-                        jnp.zeros((kcap, self._s_cap), jnp.float32),
-                        jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
-                        jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
-                        jnp.full(k, self.push_capacity, jnp.int32))
-                    pending.append(rb[0, 0])
+                    def _warm_ring(k=k, new=new):
+                        rb = _tick_ring_only(
+                            jnp.zeros((kcap, self._s_cap), jnp.float32),
+                            jnp.arange(k, dtype=jnp.int32), jnp.asarray(new),
+                            jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32),
+                            jnp.full(k, self.push_capacity, jnp.int32))
+                        return rb[0, 0]
+
+                    thunks += [_warm_fused, _warm_ring]
                     # warmed signatures get full watchdog protection from
                     # their very first live tick
                     self._fused_seen.add((k, new.dtype.str, True))
                     self._fused_seen.add((k, new.dtype.str, False))
-                    n += 2
                 if not self.fused or warm_fallback:
-                    if self.fused:  # buf was donated to _tick_fused above
-                        buf = jnp.zeros((kcap, self._s_cap), jnp.float32)
-                    _, wins = _tick_program(
-                        buf, jnp.arange(k, dtype=jnp.int32),
-                        jnp.asarray(new),
-                        jnp.zeros(k, jnp.int32),
-                        jnp.zeros(k, jnp.int32),
-                        jnp.full(k, self.push_capacity, jnp.int32),
-                        jnp.zeros(k, jnp.int32),
-                        sr=self.cfg.sr, f_win=self.f_win,
-                        feat_dtype=self._feat_dtype)
-                    pending.append(wins[0, 0, 0])
-                    n += 1
+                    def _warm_tick(k=k, new=new):
+                        _, wins = _tick_program(
+                            jnp.zeros((kcap, self._s_cap), jnp.float32),
+                            jnp.arange(k, dtype=jnp.int32),
+                            jnp.asarray(new),
+                            jnp.zeros(k, jnp.int32),
+                            jnp.zeros(k, jnp.int32),
+                            jnp.full(k, self.push_capacity, jnp.int32),
+                            jnp.zeros(k, jnp.int32),
+                            sr=cfg.sr, f_win=self.f_win,
+                            feat_dtype=self._feat_dtype)
+                        return wins[0, 0, 0]
+
+                    thunks.append(_warm_tick)
             if k >= kcap:
                 break
             k = session_bucket(k + 1)  # walk the ladder, not just pow2
 
-        def drain():
-            for a in pending:
-                float(a)  # force the deferred execution chain behind it
-            pending.clear()
+        if not self.fused or warm_fallback:
+            # worst case per session per tick: a full f_win backlog during a
+            # flush plans ceil((f_win - overlap) / stride) windows plus the
+            # final tail (3 at the 256/128/16 defaults) — warm every
+            # power-of-two decode bucket up to all sessions hitting it at once
+            stride = cfg.frame_size - cfg.overlap
+            per_session = max(1, -(-(self.f_win - cfg.overlap) // stride) + 1)
+            m = 1
+            while m <= pow2_bucket(kcap * per_session):
+                chunk = rng.standard_normal(
+                    (m, cfg.frame_size, cfg.input_dim)).astype(np.float32)
 
-        if self.fused and not warm_fallback:
-            drain()
-            return n  # the decode rides inside the fused tick
-        cfg = self.cfg
-        # worst case per session per tick: a full f_win backlog during a
-        # flush plans ceil((f_win - overlap) / stride) windows plus the
-        # final tail (3 at the 256/128/16 defaults) — warm every
-        # power-of-two decode bucket up to all sessions hitting it at once
-        stride = cfg.frame_size - cfg.overlap
-        per_session = max(1, -(-(self.f_win - cfg.overlap) // stride) + 1)
-        m = 1
-        while m <= pow2_bucket(kcap * per_session):
-            # sync by construction (returns np) — also drains everything
-            # dispatched before it, in device order
-            decode_chunks_batched(
-                self.params,
-                rng.standard_normal(
-                    (m, cfg.frame_size, cfg.input_dim)).astype(np.float32),
-                cfg)
-            n += 1
-            m *= 2
-        drain()
-        return n
+                def _warm_decode(chunk=chunk):
+                    # sync by construction (returns np)
+                    decode_chunks_batched(self.params, chunk, cfg)
+                    return None
+
+                thunks.append(_warm_decode)
+                m *= 2
+
+        workers = max(1, min(parallel, len(thunks), os.cpu_count() or 1))
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as ex:
+                pending = [g for g in ex.map(lambda f: f(), thunks)
+                           if g is not None]
+        else:
+            pending = [g for g in (f() for f in thunks) if g is not None]
+        for g in pending:
+            float(g)  # force the deferred execution chain behind it
+        return len(thunks)
