@@ -309,8 +309,18 @@ class BlendshapeStreamer:
     # -- feeding ------------------------------------------------------------
 
     def push_audio(self, samples: np.ndarray) -> int:
-        """Append raw mono samples at cfg.sr; returns frames newly finalized."""
-        samples = np.asarray(samples, np.float32).reshape(-1)
+        """Append raw mono samples at cfg.sr; returns frames newly
+        finalized. Integer PCM is widened by the dtype's full scale (no
+        peak normalization — streaming surface; same policy as
+        MultiStreamer.push_audio) instead of silently cast to raw-amplitude
+        floats."""
+        samples = np.asarray(samples).reshape(-1)
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) / 32768.0
+        elif np.issubdtype(samples.dtype, np.integer):
+            from neurosync_trainer_lite_tpu.ops.frontend import widen_int_pcm
+            samples = widen_int_pcm(samples)
+        samples = samples.astype(np.float32, copy=False)
         self._audio = np.concatenate([self._audio, samples])
         self._refresh_features()
         before = self.frames_ready

@@ -34,6 +34,8 @@ from neurosync_trainer_lite_tpu.ops.rope import rope_embed
 from neurosync_trainer_lite_tpu.ops.attention import (
     _linear,
     dropout,
+    dropout_keep,
+    dropout_mask_q,
     multi_head_attention,
 )
 
@@ -241,25 +243,24 @@ def _ffn(p: dict, x: jnp.ndarray, *, rate: float, rng, train: bool) -> jnp.ndarr
     """ReLU FFN with dropout after the activation (reference: model.py:146-158).
 
     bf16 compute routes through the lean-residual custom vjp (bit-identical
-    forward; see _ffn_lean_core). The mask bits are drawn exactly as
-    ops/attention.dropout draws them — same rng, same shape, same uint8
-    threshold — so switching paths never changes the dropout sequence. fp32
-    keeps plain autodiff for the oracle/parity tests.
+    forward; see _ffn_lean_core). The mask bits come from the SHARED
+    ops/attention draw (dropout_mask_q + dropout_keep — same rng, same
+    shape, same uint8 threshold as the plain dropout core), so switching
+    paths can never change the dropout sequence. fp32 keeps plain autodiff
+    for the oracle/parity tests.
     """
     # lean path only where a backward exists (training); eval/serving keeps
     # the plain composition — the lean residuals buy nothing without a
     # backward, and the keep-mask would be a pure [B, T, 4H] overhead there
     if x.dtype == jnp.bfloat16 and train and rng is not None:
         w1 = p["linear1"]["w"]
-        q = int(round(rate * 256))
+        q = dropout_mask_q(rate)
         if q < 256:  # rate ≈ 1.0 drops everything — fall through to plain
             if q <= 0:
                 keep = jnp.ones(x.shape[:-1] + (w1.shape[-1],), bool)
                 scale = jnp.float32(1.0)
             else:
-                bits = jax.random.bits(rng, x.shape[:-1] + (w1.shape[-1],),
-                                       jnp.uint8)
-                keep = bits >= q
+                keep = dropout_keep(rng, x.shape[:-1] + (w1.shape[-1],), q)
                 scale = jnp.float32(256.0 / (256 - q))
             return _ffn_lean_core(x, w1, p["linear1"]["b"],
                                   p["linear2"]["w"], p["linear2"]["b"],

@@ -26,11 +26,29 @@ def _linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
+def dropout_mask_q(rate: float) -> int:
+    """rate → THE shared uint8 drop threshold (keep iff bits >= q).
+
+    Single source for every dropout site — ops/attention.dropout's core
+    AND the lean-FFN custom vjp (models/seq2seq._ffn) draw their masks
+    through dropout_keep with this q, so the two paths can never
+    desynchronize the mask sequence (bf16-lean vs fp32-plain runs must see
+    identical masks from identical keys)."""
+    return int(round(rate * 256))
+
+
+def dropout_keep(rng, shape, q):
+    """THE shared keep-mask draw: uint8 bits from `rng`, keep iff
+    bits >= q. jax.random.bits is a pure function of (key, shape), so
+    every caller redrawing with the same key gets the same mask."""
+    return jax.random.bits(rng, shape, jnp.uint8) >= q
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _dropout_core(x, rng, q):
-    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    keep = dropout_keep(rng, x.shape, q)
     scale = jnp.asarray(256.0 / (256 - q), x.dtype)
-    return jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
+    return jnp.where(keep, x * scale, 0).astype(x.dtype)
 
 
 def _dropout_core_fwd(x, rng, q):
@@ -44,9 +62,9 @@ def _dropout_core_fwd(x, rng, q):
 
 
 def _dropout_core_bwd(q, rng, dy):
-    bits = jax.random.bits(rng, dy.shape, jnp.uint8)
+    keep = dropout_keep(rng, dy.shape, q)
     scale = jnp.asarray(256.0 / (256 - q), dy.dtype)
-    return jnp.where(bits >= q, dy * scale, 0).astype(dy.dtype), None
+    return jnp.where(keep, dy * scale, 0).astype(dy.dtype), None
 
 
 _dropout_core.defvjp(_dropout_core_fwd, _dropout_core_bwd)
@@ -66,7 +84,7 @@ def dropout(x: jnp.ndarray, rate: float, rng, train: bool) -> jnp.ndarray:
     """
     if not train or rate == 0.0 or rng is None:
         return x
-    q = int(round(rate * 256))
+    q = dropout_mask_q(rate)
     if q <= 0:
         return x
     if q >= 256:  # rate ≈ 1.0: everything dropped (torch nn.Dropout(1.0))

@@ -168,9 +168,7 @@ def _autocorr_187(y: jnp.ndarray, frame_length: int,
     frames = frames * jnp.asarray(
         F.hann_symmetric(frame_length).astype(np.float32))
 
-    nfft = 1
-    while nfft < 2 * frame_length - 1:
-        nfft *= 2
+    nfft = pow2_bucket(2 * frame_length - 1)
     spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
     ac = jnp.fft.irfft(jnp.abs(spec) ** 2, n=nfft, axis=-1)[:, : num_coeff + 1]
     ac = ac.astype(jnp.float32)
@@ -291,9 +289,7 @@ def _autocorr_187_valid(y: jnp.ndarray, frame_length: int, n_samples,
     frames = frames * jnp.asarray(
         F.hann_symmetric(frame_length).astype(np.float32))
 
-    nfft = 1
-    while nfft < 2 * frame_length - 1:
-        nfft *= 2
+    nfft = pow2_bucket(2 * frame_length - 1)
     spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
     ac = jnp.fft.irfft(jnp.abs(spec) ** 2, n=nfft, axis=-1)[:, : num_coeff + 1]
     ac = ac.astype(jnp.float32)
@@ -369,8 +365,18 @@ def extract_audio_features_bucketed(y, sr: int = 88200,
     the waveform is zero-padded to a bucket and the true length rides along
     as a traced scalar (extract_features_valid). Built for callers that see
     arbitrary, growing lengths — the streamer re-extracts its audio buffer
-    on every push (inference/streaming.py)."""
-    y = np.asarray(y, np.float32).reshape(-1)
+    on every push (inference/streaming.py).
+
+    Integer PCM is widened by the dtype's full scale (no peak
+    normalization — this is a streaming surface, the peak is not yet
+    known; same policy as MultiStreamer.push_audio). A silent float cast
+    would feed ±32767-amplitude garbage into the frontend (ADVICE r2)."""
+    y = np.asarray(y).reshape(-1)
+    if y.dtype == np.int16:
+        y = y.astype(np.float32) / 32768.0
+    elif np.issubdtype(y.dtype, np.integer):
+        y = widen_int_pcm(y)
+    y = y.astype(np.float32, copy=False)
     frame_length = int(0.01667 * sr)
     hop = frame_length // 2
     n = y.shape[0]
@@ -450,5 +456,8 @@ def extract_audio_features_jax(y, sr: int = 88200):
         if peak > 0:
             y_f = y_f / peak
         return np.asarray(feats), y_f
-    y = jnp.asarray(y, jnp.float32)
-    return np.asarray(_extract_jit(y, sr)), y
+    # host np waveform on BOTH paths (the int16 branch above returns np):
+    # callers hold/mutate the second return value — a device array here
+    # would be immutable and pin device memory for no consumer
+    y = np.asarray(y, np.float32)
+    return np.asarray(_extract_jit(jnp.asarray(y), sr)), y
