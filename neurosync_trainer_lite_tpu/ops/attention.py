@@ -128,6 +128,99 @@ _softmax_residual_bf16.defvjp(_softmax_residual_bf16_fwd,
                               _softmax_residual_bf16_bwd)
 
 
+# Ablation switch for tools/tpu_probe.py (--patch sdpa-nonlean): when False,
+# training falls back to the composed scores→softmax→dropout→out path whose
+# backward keeps the [B, n, T, T] weights + dropped-weights residuals.
+SDPA_LEAN = True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sdpa_lean_core(q, k, v, rng, scale, qthresh):
+    """The bf16 training attention core with stats-free lean residuals.
+
+    Composition (bit-identical forward to the composed path below):
+      scores(bf16, fp32 MXU acc) → softmax(fp32 stats, bf16 out)
+      → attention-weight dropout (uint8 threshold `qthresh`, 0 = off)
+      → weights·v (fp32 MXU acc, bf16 out).
+
+    The point is the backward residual set: only (q, k, v, key). Autodiff
+    of the composed path saves BOTH the softmax weights and the dropped
+    weights — two [B, n, T, T] bf16 tensors (~134 MB per attention site at
+    the flagship geometry, ×20 resident sites under the r3 unroll) held
+    from forward to backward. Here the backward *recomputes* the score/
+    softmax/mask chain from (q, k, key) — one extra q·kᵀ einsum per site
+    (~4.3 GFLOP, trivial on the MXU) and a mask redraw (rbg generation is
+    measured ~free, docs/PERF.md r3) in exchange for freeing the residuals
+    and their HBM round-trip. Gradient math matches autodiff of the
+    composed path (same fp32 softmax backward, same preferred-element-type
+    boundaries); pinned by
+    tests/test_model.py::test_sdpa_lean_grads_match_composed.
+    """
+    s = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                   preferred_element_type=jnp.bfloat16
+                   ) * jnp.asarray(scale, jnp.bfloat16)
+    w = _softmax_fp32_to_bf16(s)
+    if qthresh > 0:
+        keep = dropout_keep(rng, w.shape, qthresh)
+        dsc = jnp.asarray(256.0 / (256 - qthresh), w.dtype)
+        w = jnp.where(keep, w * dsc, 0).astype(w.dtype)
+    out = jnp.einsum("bnqk,bnkh->bnqh", w, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def _softmax_fp32_to_bf16(s):
+    return jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+
+
+def _sdpa_lean_fwd(q, k, v, rng, scale, qthresh):
+    return _sdpa_lean_core(q, k, v, rng, scale, qthresh), (q, k, v, rng)
+
+
+def _sdpa_lean_bwd(scale, qthresh, res, dout):
+    q, k, v, rng = res
+    # recompute the forward chain — deterministic: the einsum/softmax are
+    # pure functions and jax.random.bits redraws the forward's exact mask
+    # from the saved key (the same contract _dropout_core relies on)
+    s = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                   preferred_element_type=jnp.bfloat16
+                   ) * jnp.asarray(scale, jnp.bfloat16)
+    w = _softmax_fp32_to_bf16(s)
+    if qthresh > 0:
+        keep = dropout_keep(rng, w.shape, qthresh)
+        dsc = jnp.asarray(256.0 / (256 - qthresh), w.dtype)
+        wd = jnp.where(keep, w * dsc, 0).astype(w.dtype)
+    else:
+        wd = w
+
+    # out = wd · v (fp32 acc, cast bf16): transpose dots keep fp32 acc
+    dv = jnp.einsum("bnqk,bnqh->bnkh", wd, dout,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dwd = jnp.einsum("bnqh,bnkh->bnqk", dout, v,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
+    # dropout backward (== _dropout_core_bwd)
+    if qthresh > 0:
+        dw = jnp.where(keep, dwd * dsc, 0).astype(dwd.dtype)
+    else:
+        dw = dwd
+    # softmax backward in fp32 from the bf16-rounded weights
+    # (== _softmax_residual_bf16_bwd)
+    wf = w.astype(jnp.float32)
+    dwf = dw.astype(jnp.float32)
+    ds = (wf * (dwf - jnp.sum(dwf * wf, axis=-1, keepdims=True))
+          ).astype(jnp.bfloat16)
+    ds = ds * jnp.asarray(scale, jnp.bfloat16)
+    # scores einsum was preferred bf16 — its transposes keep that contract
+    dq = jnp.einsum("bnqk,bnkh->bnqh", ds, k,
+                    preferred_element_type=jnp.bfloat16)
+    dk = jnp.einsum("bnqk,bnqh->bnkh", ds, q,
+                    preferred_element_type=jnp.bfloat16)
+    return dq, dk, dv, None
+
+
+_sdpa_lean_core.defvjp(_sdpa_lean_fwd, _sdpa_lean_bwd)
+
+
 def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
     """Scaled dot-product attention. q,k,v: [B, n, T, h].
 
@@ -149,6 +242,16 @@ def sdpa(q, k, v, *, dropout_rate=0.0, rng=None, train=False, impl="auto"):
         return fa.flash_attention(q, k, v, scale)
 
     if v.dtype == jnp.bfloat16:
+        if train and SDPA_LEAN:
+            # training: the lean-residual fused core (saves only q/k/v/key,
+            # recomputes scores/softmax/mask in the backward — see
+            # _sdpa_lean_core). rate≈1.0 (everything dropped) falls through
+            # to the composed path's exact zeros handling.
+            drop = dropout_rate > 0.0 and rng is not None
+            qthresh = dropout_mask_q(dropout_rate) if drop else 0
+            if qthresh < 256:
+                key = rng if qthresh > 0 else jax.random.PRNGKey(0)
+                return _sdpa_lean_core(q, k, v, key, scale, qthresh)
         # bf16 compute: fp32 MXU accumulation with bf16 logits/weights/
         # residuals; softmax stats and backward math in fp32 inside the
         # custom vjp (see _softmax_residual_bf16)

@@ -283,6 +283,73 @@ def test_dropout_regen_backward_matches_stored_mask():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sdpa_lean_grads_match_composed():
+    """The lean-residual SDPA core (saves only q/k/v/key, recomputes the
+    score/softmax/mask chain in the backward) must be forward-bit-identical
+    to the composed scores→softmax→dropout→out path and match its gradients
+    to bf16 rounding — with and without attention-weight dropout."""
+    from neurosync_trainer_lite_tpu.ops import attention as attn
+
+    rng = np.random.default_rng(17)
+    B, n, T, h = 2, 4, 8, 16
+    q = jnp.asarray(rng.standard_normal((B, n, T, h)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, n, T, h)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, n, T, h)), jnp.bfloat16)
+    key = jax.random.PRNGKey(7)
+    scale = h ** -0.5
+
+    def composed(q, k, v, rate):
+        s = jnp.einsum("bnqh,bnkh->bnqk", q, k,
+                       preferred_element_type=jnp.bfloat16
+                       ) * jnp.asarray(scale, jnp.bfloat16)
+        w = attn._softmax_residual_bf16(s)
+        w = attn.dropout(w, rate, key if rate > 0 else None, True)
+        return jnp.einsum("bnqk,bnkh->bnqh", w, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(v.dtype)
+
+    for rate in (0.0, 0.3):
+        qthresh = attn.dropout_mask_q(rate) if rate > 0 else 0
+        y_lean = attn._sdpa_lean_core(q, k, v, key, scale, qthresh)
+        y_comp = composed(q, k, v, rate)
+        np.testing.assert_array_equal(np.asarray(y_lean, np.float32),
+                                      np.asarray(y_comp, np.float32))
+
+        g_lean = jax.grad(lambda q, k, v: jnp.sum(
+            attn._sdpa_lean_core(q, k, v, key, scale, qthresh
+                                 ).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        g_comp = jax.grad(lambda q, k, v: jnp.sum(
+            composed(q, k, v, rate).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_lean, g_comp):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = np.max(np.abs(b)) + 1e-9
+            assert np.max(np.abs(a - b)) / denom < 2e-2
+
+
+def test_sdpa_lean_engages_and_model_output_unchanged():
+    """The lean core must be what the bf16 training path actually runs, and
+    flipping it off (the probe ablation switch) must not change the model's
+    forward — the composed path is bit-identical by construction."""
+    from neurosync_trainer_lite_tpu.ops import attention as attn
+
+    cfg = CFG.replace(use_amp=True, dropout=0.3)
+    params = init_seq2seq(jax.random.PRNGKey(2), cfg)
+    src = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 16, cfg.input_dim)),
+        jnp.float32)
+    key = jax.random.PRNGKey(5)
+    try:
+        y_lean = seq2seq_apply(params, src, cfg, rng=key, train=True)
+        attn.SDPA_LEAN = False
+        y_comp = seq2seq_apply(params, src, cfg, rng=key, train=True)
+    finally:
+        attn.SDPA_LEAN = True
+    np.testing.assert_array_equal(np.asarray(y_lean), np.asarray(y_comp))
+
+
 def test_ffn_lean_grads_match_autodiff():
     """The lean-residual FFN vjp (bf16 path) must match plain autodiff of
     the same composition, with and without dropout, and its forward must be

@@ -48,7 +48,8 @@ def main():
                             "attndrop-skip", "attndrop-bf16",
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
                             "ffn-nokeep", "dropout-regen", "mask-lean",
-                            "unroll-dec-tail", "unroll-remat-head"),
+                            "unroll-dec-tail", "unroll-remat-head",
+                            "sdpa-nonlean"),
                    help="ablate/prototype a component (diagnostic only)")
     p.add_argument("--unroll-residents", type=int, default=1,
                    help="Config.unroll_residents (1 = shipped default; 0 "
@@ -250,6 +251,14 @@ def main():
             return y.astype(x.dtype)
 
         s2s.layer_norm = ln_plain
+
+    if args.patch == "sdpa-nonlean":
+        # REVERSE ablation: compose scores→softmax→dropout→out from the
+        # individual custom-vjp pieces (autodiff keeps the two [B,n,T,T]
+        # bf16 residuals per site) instead of the shipped lean SDPA core
+        # that recomputes the chain in the backward from (q, k, key)
+        from neurosync_trainer_lite_tpu.ops import attention as am
+        am.SDPA_LEAN = False
 
     if args.patch == "unroll-dec-tail":
         # diagnostic: unroll ONLY the decoder tail, keep the encoder on the

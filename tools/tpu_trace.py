@@ -58,7 +58,7 @@ def attribute(trace_dir: str, n_steps: int):
         total += dur
     print(f"\n== device-op attribution over {n_steps} steps "
           f"({total / n_steps / 1e3:.1f} ms/step of leaf device time) ==")
-    for g, us in by_group.most_common(14):
+    for g, us in by_group.most_common(30):
         print(f"{us / n_steps / 1e3:8.1f} ms/step  {100 * us / total:5.1f}%  {g}")
 
 
