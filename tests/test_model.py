@@ -350,6 +350,41 @@ def test_sdpa_lean_engages_and_model_output_unchanged():
     np.testing.assert_array_equal(np.asarray(y_lean), np.asarray(y_comp))
 
 
+def test_bf16_train_saves_no_attention_weight_residuals():
+    """Structural pin of the lean SDPA mechanism: the bf16 training loss
+    must not hold ANY [B, num_heads, T, T]-shaped tensor (softmax weights /
+    dropped weights / logits) as a forward→backward residual — at the
+    flagship geometry those were ~134 MB per attention site (docs/PERF.md
+    r4). Also pins the FFN keep-mask absence ([B, T, 4H] bools) from r3."""
+    from jax._src.ad_checkpoint import saved_residuals
+
+    from neurosync_trainer_lite_tpu.models.loss import loss_fn
+
+    cfg = CFG.replace(use_amp=True, dropout=0.3)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    # T must differ from the head dim, else the legitimate q/k/v residuals
+    # [B, n, T, h] collide with the [B, n, T, T] shape being asserted absent
+    B, T = 2, 12
+    assert T != cfg.hidden_dim // cfg.num_heads
+    src = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.input_dim))
+    trg = jax.random.normal(jax.random.PRNGKey(2), (B, T, cfg.output_dim))
+
+    def f(p):
+        return loss_fn(seq2seq_apply(p, src, cfg, rng=jax.random.PRNGKey(3),
+                                     train=True), trg)
+
+    res = saved_residuals(f, params)
+    attn_weight_shape = (B, cfg.num_heads, T, T)
+    ffn_mask_shape = (B, T, cfg.ffn_dim)
+    offenders = [
+        (getattr(a, "shape", None), desc) for a, desc in res
+        if getattr(a, "shape", None) == attn_weight_shape
+        or (getattr(a, "shape", None) == ffn_mask_shape
+            and getattr(a, "dtype", None) == jnp.bool_)
+    ]
+    assert not offenders, offenders
+
+
 def test_ffn_lean_grads_match_autodiff():
     """The lean-residual FFN vjp (bf16 path) must match plain autodiff of
     the same composition, with and without dropout, and its forward must be
