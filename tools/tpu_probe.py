@@ -49,7 +49,7 @@ def main():
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
                             "ffn-nokeep", "dropout-regen", "mask-lean",
                             "unroll-dec-tail", "unroll-remat-head",
-                            "sdpa-nonlean"),
+                            "sdpa-nonlean", "sdpa-lean-nosplit", "no-opt"),
                    help="ablate/prototype a component (diagnostic only)")
     p.add_argument("--unroll-residents", type=int, default=1,
                    help="Config.unroll_residents (1 = shipped default; 0 "
@@ -259,6 +259,113 @@ def main():
         # that recomputes the chain in the backward from (q, k, key)
         from neurosync_trainer_lite_tpu.ops import attention as am
         am.SDPA_LEAN = False
+
+    if args.patch == "sdpa-lean-nosplit":
+        # prototype: the lean SDPA core operating on UNSPLIT heads —
+        # q/k/v stay [B, T, n, h] reshape-views (no [B, n, T, h] transpose
+        # materialization fwd or bwd); einsums contract straight from the
+        # token-major layout. Asks whether the head-split transposes and
+        # their backward twins are worth folding into the shipped core.
+        import functools as _ft
+        import jax as _jax
+        import jax.numpy as _jnp
+        from neurosync_trainer_lite_tpu.ops import attention as am
+        from neurosync_trainer_lite_tpu.ops.rope import rope_qk_preheads
+
+        @_ft.partial(_jax.custom_vjp, nondiff_argnums=(4, 5))
+        def lean_nosplit(q, k, v, rng, scale, qthresh):
+            s = _jnp.einsum("bqnh,bknh->bnqk", q, k,
+                            preferred_element_type=_jnp.bfloat16
+                            ) * _jnp.asarray(scale, _jnp.bfloat16)
+            w = _jax.nn.softmax(s.astype(_jnp.float32), axis=-1
+                                ).astype(_jnp.bfloat16)
+            if qthresh > 0:
+                keep = am.dropout_keep(rng, w.shape, qthresh)
+                dsc = _jnp.asarray(256.0 / (256 - qthresh), w.dtype)
+                w = _jnp.where(keep, w * dsc, 0).astype(w.dtype)
+            out = _jnp.einsum("bnqk,bknh->bqnh", w, v,
+                              preferred_element_type=_jnp.float32)
+            return out.astype(v.dtype)
+
+        def lean_nosplit_fwd(q, k, v, rng, scale, qthresh):
+            return lean_nosplit(q, k, v, rng, scale, qthresh), (q, k, v, rng)
+
+        def lean_nosplit_bwd(scale, qthresh, res, dout):
+            q, k, v, rng = res
+            s = _jnp.einsum("bqnh,bknh->bnqk", q, k,
+                            preferred_element_type=_jnp.bfloat16
+                            ) * _jnp.asarray(scale, _jnp.bfloat16)
+            w = _jax.nn.softmax(s.astype(_jnp.float32), axis=-1
+                                ).astype(_jnp.bfloat16)
+            if qthresh > 0:
+                keep = am.dropout_keep(rng, w.shape, qthresh)
+                dsc = _jnp.asarray(256.0 / (256 - qthresh), w.dtype)
+                wd = _jnp.where(keep, w * dsc, 0).astype(w.dtype)
+            else:
+                wd = w
+            dv = _jnp.einsum("bnqk,bqnh->bknh", wd, dout,
+                             preferred_element_type=_jnp.float32
+                             ).astype(v.dtype)
+            dwd = _jnp.einsum("bqnh,bknh->bnqk", dout, v,
+                              preferred_element_type=_jnp.float32
+                              ).astype(w.dtype)
+            if qthresh > 0:
+                dw = _jnp.where(keep, dwd * dsc, 0).astype(dwd.dtype)
+            else:
+                dw = dwd
+            wf = w.astype(_jnp.float32)
+            dwf = dw.astype(_jnp.float32)
+            ds = (wf * (dwf - _jnp.sum(dwf * wf, axis=-1, keepdims=True))
+                  ).astype(_jnp.bfloat16)
+            ds = ds * _jnp.asarray(scale, _jnp.bfloat16)
+            dq = _jnp.einsum("bnqk,bknh->bqnh", ds, k,
+                             preferred_element_type=_jnp.bfloat16)
+            dk = _jnp.einsum("bnqk,bqnh->bknh", ds, q,
+                             preferred_element_type=_jnp.bfloat16)
+            return dq, dk, dv, None
+
+        lean_nosplit.defvjp(lean_nosplit_fwd, lean_nosplit_bwd)
+
+        def mha_nosplit(params, query, key, value, *, num_heads,
+                        dropout_rate=0.0, rng=None, train=False,
+                        use_rope=True, impl="auto"):
+            B, Tq, H = query.shape
+            h = H // num_heads
+            q = am._linear(query, params["q"])
+            k = am._linear(key, params["k"])
+            v = am._linear(value, params["v"])
+            if rng is not None and train:
+                rng_attn, rng_resid = _jax.random.split(rng)
+            else:
+                rng_attn = rng_resid = None
+            if use_rope:
+                q, k = rope_qk_preheads(q, k, num_heads)
+            q4 = q.reshape(B, Tq, num_heads, h)
+            k4 = k.reshape(B, k.shape[1], num_heads, h)
+            v4 = v.reshape(B, v.shape[1], num_heads, h)
+            drop = train and dropout_rate > 0.0 and rng_attn is not None
+            qt = am.dropout_mask_q(dropout_rate) if drop else 0
+            kk = rng_attn if qt > 0 else _jax.random.PRNGKey(0)
+            out = lean_nosplit(q4, k4, v4, kk, h ** -0.5, qt
+                               ).reshape(B, Tq, H)
+            out = am._linear(out, params["out"])
+            return am.dropout(out, dropout_rate, rng_resid, train)
+
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+        am.multi_head_attention = mha_nosplit
+        s2s.multi_head_attention = mha_nosplit
+
+    if args.patch == "no-opt":
+        # diagnostic: replace the optimizer chain (global-norm clip + L2
+        # decay + Adam + LR scale) with a zero update — the step still
+        # computes grads and the logged grad norm, so the measured delta
+        # vs the baseline is the optimizer chain's cost
+        import optax as _optax
+        from neurosync_trainer_lite_tpu.training import optim as om
+        from neurosync_trainer_lite_tpu.training import step as st
+
+        om.make_optimizer = lambda cfg, spe: _optax.set_to_zero()
+        st.make_optimizer = om.make_optimizer
 
     if args.patch == "unroll-dec-tail":
         # diagnostic: unroll ONLY the decoder tail, keep the encoder on the

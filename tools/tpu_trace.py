@@ -42,6 +42,7 @@ def attribute(trace_dir: str, n_steps: int):
                and e["pid"] in tpu_pids
                and "XLA Ops" in e["args"]["name"]}
     by_group = collections.Counter()
+    by_op = collections.Counter()
     total = 0.0
     for e in ev:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
@@ -55,11 +56,15 @@ def attribute(trace_dir: str, n_steps: int):
         if g in ("while", "closed_call", "call", "checkpoint", "conditional"):
             continue
         by_group[g] += dur
+        by_op[name] += dur
         total += dur
     print(f"\n== device-op attribution over {n_steps} steps "
           f"({total / n_steps / 1e3:.1f} ms/step of leaf device time) ==")
     for g, us in by_group.most_common(30):
         print(f"{us / n_steps / 1e3:8.1f} ms/step  {100 * us / total:5.1f}%  {g}")
+    print("\n== top individual ops ==")
+    for name, us in by_op.most_common(25):
+        print(f"{us / n_steps / 1e3:8.2f} ms/step  {name}")
 
 
 def main():
