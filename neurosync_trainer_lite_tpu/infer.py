@@ -19,7 +19,9 @@ def main(argv=None):
         prog="neurosync_trainer_lite_tpu.infer",
         description="audio file → 61-dim ARKit blendshape CSV at 60 fps")
     parser.add_argument("--wav", required=True)
-    parser.add_argument("--model", default="out/model.pth")
+    parser.add_argument("--model", default="out/model.pth",
+                        help="model.pth (torch interchange) or a training "
+                             "checkpoint directory (torch-free)")
     parser.add_argument("--out", default="generated.csv")
     parser.add_argument("--ground-truth", default=None,
                         help="LiveLink CSV to compare against")

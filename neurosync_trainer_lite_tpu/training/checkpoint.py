@@ -39,6 +39,7 @@ _async_ckptr: ocp.AsyncCheckpointer | None = None
 _export_threads: list[threading.Thread] = []
 _export_errors: list[BaseException] = []
 _pending_meta: list[tuple[str, dict]] = []
+_warned_no_torch = False
 
 
 def _get_async_ckptr() -> ocp.AsyncCheckpointer:
@@ -230,9 +231,23 @@ def save_final_model(params, cfg: Config, final_model_path: str | None = None,
     """Weights-only export in the reference's model.pth format
     (reference: model_utils.py:46-49). async_save=True runs the fetch +
     torch write in a background thread (params are immutable jax arrays, so
-    the snapshot is consistent); join via wait_for_pending_saves()."""
-    from neurosync_trainer_lite_tpu.utils.torch_interop import save_torch_model
+    the snapshot is consistent); join via wait_for_pending_saves().
 
+    Without torch installed (pyproject's [interop] extra) the export is
+    SKIPPED with a loud one-time warning instead of poisoning the run: the
+    Orbax checkpoint already holds the full state, only the reference-format
+    .pth interchange file is lost."""
+    from neurosync_trainer_lite_tpu.utils.torch_interop import (
+        save_torch_model, torch_available)
+
+    if not torch_available():
+        global _warned_no_torch
+        if not _warned_no_torch:
+            _warned_no_torch = True
+            print("WARNING: torch is not installed — skipping the model.pth "
+                  "export (the Orbax checkpoint is unaffected). Install the "
+                  "[interop] extra for reference-format .pth files.")
+        return
     path = final_model_path or cfg.model_path
     if async_save:
         # write-to-tmp + atomic replace, on a NON-daemon thread: an
@@ -256,8 +271,33 @@ def save_final_model(params, cfg: Config, final_model_path: str | None = None,
 
 
 def load_model(model_path: str, cfg: Config):
-    """Load a reference-format model.pth into a params pytree
-    (reference: model_utils.py:29-44)."""
-    from neurosync_trainer_lite_tpu.utils.torch_interop import load_torch_model
+    """Load inference params from either a reference-format model.pth
+    (reference: model_utils.py:29-44) or one of this framework's Orbax
+    checkpoint directories (params only — optimizer state is dropped).
 
+    Accepting the native checkpoint keeps `neurosync-infer`/`neurosync-serve`
+    fully torch-free: .pth is the torch-interchange format, the Orbax dir is
+    what training writes every epoch anyway."""
+    if os.path.isdir(model_path):
+        path = _resolve_complete_checkpoint(os.path.abspath(model_path))
+        with open(os.path.join(path, _META_FILE)) as f:
+            json.load(f)  # validates meta.json — state/ is complete
+        abstract = jax.tree.map(
+            ocp.utils.to_shape_dtype_struct,
+            jax.eval_shape(lambda: init_train_state(cfg, 1,
+                                                    rng=jax.random.PRNGKey(0)
+                                                    )[0]))
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.join(path, _STATE_SUBDIR), abstract)
+        return TrainState(*state).params
+
+    from neurosync_trainer_lite_tpu.utils.torch_interop import (
+        load_torch_model, torch_available)
+
+    if not torch_available():
+        raise RuntimeError(
+            f"loading {model_path!r} requires torch (the .pth format is a "
+            "torch state dict). Install the [interop] extra "
+            "(pip install 'neurosync-trainer-lite-tpu[interop]') or pass a "
+            "training checkpoint directory instead.")
     return load_torch_model(model_path, cfg)

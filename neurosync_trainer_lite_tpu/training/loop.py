@@ -259,7 +259,8 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
     # thrash the allocator — both consistent with 0.42 (docs/PERF.md r3)
     acts = _activation_bytes(cfg, n_data_shards)
     dec_acts = acts * 35 // 60
-    per_resident_layer = 0.42 * dec_acts / cfg.n_layers
+    cap, cap_src, resident_coeff = _residency_cap_and_coeff(cfg)
+    per_resident_layer = resident_coeff * dec_acts / cfg.n_layers
     spare = budget - (need - dec_acts)
     if spare < 0:
         # even a fully-rematted decoder won't fit (e.g. batch ≥256 on a
@@ -277,7 +278,6 @@ def _maybe_auto_remat(cfg: Config, n_data_shards: int, verbose: bool) -> Config:
                       f"~{need_all/1e9:.1f} GB; consider grad_accum_steps "
                       "or a smaller batch_size")
         return cfg.replace(remat=True, remat_scope="all", remat_layers=-1)
-    cap, cap_src = _residency_cap(cfg)
     resident = int(max(0, min(cfg.n_layers - 1, cap,
                               spare // per_resident_layer)))
     remat_layers = (cfg.n_layers - resident) if resident > 0 else -1
@@ -299,23 +299,28 @@ def _local_device_kind() -> str:
         return ""
 
 
-def _residency_cap(cfg: Config) -> tuple[int, str]:
-    """Max resident (non-rematted) decoder layers, and where the number
-    came from.
+def _residency_cap_and_coeff(cfg: Config) -> tuple[int, str, float]:
+    """(max resident decoder layers, where that came from, per-resident-layer
+    HBM coefficient as a fraction of the layer's _activation_bytes share).
 
-    On the v5e the cap is MEASURED at the flagship geometry (docs/PERF.md):
-    with the r3 mask-lean residuals (regen-from-key dropout + keep-free FFN
-    vjp) the sweet spot is 6 resident decoder layers at dropout 0.3
-    (529.5 samples/s) AND at dropout 0 (555.4; K-sweep monotone up to 6,
-    the 7th resident thrashed the allocator at dropout 0.3). v5e-specific;
-    on any other chip the planner keeps whatever fits the HBM estimate
-    (fit-derived, uncapped) rather than silently applying another chip's
-    measurement (VERDICT r2 weak #4)."""
+    On the v5e BOTH numbers are MEASURED at the flagship geometry
+    (docs/PERF.md): with the r3 mask-lean residuals (regen-from-key dropout
+    + keep-free FFN vjp) the sweet spot is 6 resident decoder layers at
+    dropout 0.3 (529.5 samples/s) AND at dropout 0 (555.4; K-sweep monotone
+    up to 6, the 7th resident thrashed the allocator at dropout 0.3), and a
+    resident layer occupies ~0.42x its estimator share. On any other chip
+    the planner keeps whatever fits the HBM estimate — but with the
+    CONSERVATIVE pre-mask-lean 1.25x coefficient, not the v5e-calibrated
+    0.42: the cap was de-magic'd for other chips (VERDICT r2 weak #4) and
+    the coefficient must be too, or an unmeasured chip over-commits
+    residents ~3x and OOMs its first train step. Conservative here costs
+    only some recompute; optimistic costs an OOM (which can wedge the axon
+    tunnel for 30+ min)."""
     kind = _local_device_kind()
     if kind.startswith(("TPU v5 lite", "TPU v5e")):
-        return 6, f"measured on {kind}"
+        return 6, f"measured on {kind}", 0.42
     return cfg.n_layers - 1, (
-        f"fit-derived (no measured cap for {kind or 'this backend'})")
+        f"fit-derived (no measured cap for {kind or 'this backend'})"), 1.25
 
 
 def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,

@@ -155,6 +155,17 @@ def state_dict_to_params(sd: dict, cfg: Config) -> dict:
     return {"encoder": encoder, "decoder": decoder}
 
 
+def torch_available() -> bool:
+    """True when torch is importable. The .pth interop paths are the ONLY
+    torch dependency in the package (pyproject ships it as the [interop]
+    extra); callers on default flows (per-epoch export, serve --model) use
+    this to degrade loudly instead of crashing a training run or a server
+    startup on ModuleNotFoundError."""
+    import importlib.util
+
+    return importlib.util.find_spec("torch") is not None
+
+
 def save_torch_model(params, cfg: Config, path: str) -> None:
     """Write a reference-compatible ``model.pth`` (torch.save of a state dict)."""
     import torch

@@ -37,6 +37,45 @@ def test_checkpoint_roundtrip(tmp_path):
     _trees_equal(state.opt_state, restored.opt_state)
 
 
+def test_load_model_accepts_checkpoint_dir_torch_free(tmp_path, monkeypatch):
+    """load_model on an Orbax checkpoint DIRECTORY returns the params
+    pytree without importing torch — the torch-free path that keeps
+    neurosync-infer/-serve usable without the [interop] extra."""
+    path = str(tmp_path / "ckpt" / "checkpoint")
+    state, _ = init_train_state(CFG, steps_per_epoch=10,
+                                rng=jax.random.PRNGKey(5))
+    save_checkpoint(state, epoch=3, batch_step=42, cfg=CFG,
+                    checkpoint_path=path)
+    # prove the path never touches torch: make any torch import explode
+    import builtins
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **kw):
+        if name == "torch" or name.startswith("torch."):
+            raise AssertionError("load_model(dir) imported torch")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    params = load_model(path, CFG)
+    _trees_equal(state.params, params)
+
+
+def test_save_final_model_skips_without_torch(tmp_path, monkeypatch, capsys):
+    """Without torch the per-epoch .pth export degrades to a loud skip
+    instead of crashing the training run (code-review r3)."""
+    from neurosync_trainer_lite_tpu.utils import torch_interop
+
+    state, _ = init_train_state(CFG, steps_per_epoch=10,
+                                rng=jax.random.PRNGKey(5))
+    monkeypatch.setattr(torch_interop, "torch_available", lambda: False)
+    import neurosync_trainer_lite_tpu.training.checkpoint as ck
+    monkeypatch.setattr(ck, "_warned_no_torch", False)
+    out = str(tmp_path / "model.pth")
+    save_final_model(state.params, CFG, out)
+    assert not os.path.exists(out)
+    assert "skipping the model.pth export" in capsys.readouterr().out
+
+
 def test_backup_rotation_keeps_five(tmp_path):
     path = str(tmp_path / "ckpt" / "checkpoint")
     state, _ = init_train_state(CFG, steps_per_epoch=10)

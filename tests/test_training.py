@@ -230,17 +230,20 @@ def test_auto_remat_residency_cap_is_scoped_to_v5e():
     from neurosync_trainer_lite_tpu.config import full_config
     from neurosync_trainer_lite_tpu.training import loop
 
-    # v5e: measured caps apply
+    # v5e: measured cap AND measured 0.42 residency coefficient apply
     with mock.patch.object(loop, "_local_device_kind", lambda: "TPU v5 lite"):
-        cap, src = loop._residency_cap(full_config())
-        assert cap == 6 and "measured" in src
-        cap, _ = loop._residency_cap(full_config(dropout=0.0))
+        cap, src, coeff = loop._residency_cap_and_coeff(full_config())
+        assert cap == 6 and "measured" in src and coeff == 0.42
+        cap, _, _ = loop._residency_cap_and_coeff(full_config(dropout=0.0))
         assert cap == 6
-    # v5p / v6e / unknown: fit-derived, uncapped below n_layers-1
+    # v5p / v6e / unknown: fit-derived cap, and the CONSERVATIVE 1.25x
+    # coefficient — the v5e-calibrated 0.42 would over-commit residents ~3x
+    # on a chip whose allocator behavior was never measured
     for kind in ("TPU v5p", "TPU v6e", "weird-future-chip", ""):
         with mock.patch.object(loop, "_local_device_kind", lambda k=kind: k):
-            cap, src = loop._residency_cap(full_config())
+            cap, src, coeff = loop._residency_cap_and_coeff(full_config())
             assert cap == full_config().n_layers - 1 and "fit-derived" in src
+            assert coeff == 1.25
 
     # a mocked v6e (32 GB) at a geometry that needs remat: residency comes
     # from the fit math, not the v5e cap — batch 256 on 32 GB wants decoder

@@ -35,63 +35,32 @@ def main():
 
     import numpy as np
 
-    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
-        enable_persistent_cache)
+    from tools._serving_harness import (
+        build_streamer, hunt_decode_tick, prime_sessions, push_noise,
+        window_stride_s)
 
-    enable_persistent_cache()
-
-    import jax
-
-    from neurosync_trainer_lite_tpu.config import Config
-    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
-    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
-
-    cfg = Config(dropout=0.0)
-    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
-    ms = MultiStreamer(params, cfg, max_sessions=args.k,
-                       fused_decode=bool(args.fused),
-                       stall_watchdog_s=None)
-    t0 = time.perf_counter()
-    ms.warmup()
-    print(f"warmup {time.perf_counter() - t0:.1f} s", flush=True)
+    # watchdog off: a stall here must be MEASURED, not auto-recovered
+    ms, cfg, _ = build_streamer(max_sessions=args.k, fused=bool(args.fused),
+                                stall_watchdog_s=None)
 
     rng = np.random.default_rng(0)
-    sids = [ms.open() for _ in range(args.k)]
     # prime each ring past the first window so intake ticks are pure intake
-    for sid in sids:
-        ms.push_audio(sid, (rng.standard_normal(int(cfg.sr * 2.2)) * 8000
-                            ).astype(np.int16))
-    while ms.tick():
-        pass
+    sids = prime_sessions(ms, cfg, args.k, rng)
 
-    win_stride_s = (cfg.frame_size - cfg.overlap) / cfg.frame_rate  # ≈1.87 s
     intake, decode = [], []
     small = int(cfg.sr * 0.25)
     for _ in range(args.reps):
         # intake-only tick: push 0.25 s (< a window stride) everywhere
         for sid in sids:
-            ms.push_audio(sid, (rng.standard_normal(small) * 8000
-                                ).astype(np.int16))
+            push_noise(ms, sid, rng, small)
         t1 = time.perf_counter()
         ms.tick()
         intake.append(time.perf_counter() - t1)
         # now top every session up past the next ready window; measure the
         # tick that actually decodes (the first one yielding frames)
-        top = int(cfg.sr * (win_stride_s + 0.3)) - small
-        for sid in sids:
-            ms.push_audio(sid, (rng.standard_normal(top) * 8000
-                                ).astype(np.int16))
-        for _ in range(8):
-            t1 = time.perf_counter()
-            out = ms.tick()
-            dt = time.perf_counter() - t1
-            if sum(out.values()) > 0:
-                decode.append(dt)
-                break
-        else:
-            raise RuntimeError("no decode tick within 8 ticks")
-        while ms.tick():  # drain any catch-up so reps stay comparable
-            pass
+        top = int(cfg.sr * (window_stride_s(cfg) + 0.3)) - small
+        dt, _frames = hunt_decode_tick(ms, sids, rng, cfg, top_samples=top)
+        decode.append(dt)
 
     for sid in sids:
         ms.flush(sid)

@@ -49,30 +49,17 @@ def main():
 
     import numpy as np
 
-    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
-        enable_persistent_cache)
+    from tools._serving_harness import build_streamer
 
-    enable_persistent_cache()
-
-    import jax
-
-    from neurosync_trainer_lite_tpu.config import Config
-    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
-    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
-
-    cfg = Config(dropout=0.0)
-    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
     kw = {}
     if args.watchdog == "-":
         kw["stall_watchdog_s"] = None
     elif args.watchdog is not None:
         kw["stall_watchdog_s"] = float(args.watchdog)
-    ms = MultiStreamer(params, cfg, max_sessions=args.max_sessions,
-                       fused_decode=bool(args.fused), **kw)
-    t0 = time.perf_counter()
-    n_prog = ms.warmup()
-    print(f"warmup: {n_prog} programs in {time.perf_counter() - t0:.1f} s",
-          flush=True)
+    ms, cfg, _ = build_streamer(max_sessions=args.max_sessions,
+                                fused=bool(args.fused), **kw)
+
+    import jax
 
     rng = np.random.default_rng(0)
     push = int(cfg.sr * args.push_seconds)
@@ -88,19 +75,29 @@ def main():
         """Compile + run n distinct never-seen programs (unique static
         shapes → unique executables). Each is a chain of matmuls so the
         executable has some size; runtime is trivial. Pressure compiles are
-        intentionally NOT interesting to the persistent cache (unique
-        shapes per run via the monotonic counter + pid)."""
+        intentionally NOT serveable from any compile cache: shapes are
+        monotonic within the run, and a per-burst time salt is baked into
+        the HLO so reruns never hit the persistent cache either."""
         t0 = time.perf_counter()
+        # run-unique salt baked into the program as a CONSTANT: a fresh HLO
+        # (hence a persistent-cache miss) every run even when two runs'
+        # shape sequences collide. The previous pid%64 shape offset aliased
+        # for ~half of pid pairs (8*p1 ≡ 8*p2 mod 16), letting a rerun's
+        # "pressure" burst be served entirely from the persistent cache —
+        # i.e. no compile pressure at all.
+        salt = 1e-3 + (time.time_ns() % 1_000_003) * 1e-12
         for _ in range(n_programs):
             pressure_n[0] += 1
             # monotonic within the run (never wraps back onto an earlier
-            # shape → never served by the compile caches mid-run); pid
-            # offsets runs from each other
-            n = 256 + 8 * (os.getpid() % 64) + 16 * pressure_n[0]
+            # shape → never served by the in-process caches mid-run)
+            n = 256 + 16 * pressure_n[0]
 
             def chain(x):
                 for _ in range(8):
-                    x = jnp.tanh(x @ x)
+                    # salt is a closure constant → baked into the traced
+                    # HLO as a literal, so the program (and its cache key)
+                    # really is run-unique
+                    x = jnp.tanh(x @ x + salt)
                 return x.sum()
 
             float(jax.jit(chain)(jnp.ones((n, n), jnp.bfloat16) * 1e-3))

@@ -29,48 +29,28 @@ def main():
 
     import numpy as np
 
-    from neurosync_trainer_lite_tpu.utils.compilation_cache import (
-        enable_persistent_cache)
+    from tools._serving_harness import (
+        build_streamer, hunt_decode_tick, prime_sessions, window_stride_s)
 
-    enable_persistent_cache()
+    # watchdog off (a stall must show in the trace, not auto-recover);
+    # fallback family not warmed — it would pollute the traced program set
+    ms, cfg, _ = build_streamer(max_sessions=args.k, fused=bool(args.fused),
+                                stall_watchdog_s=None, warm_fallback=False)
 
     import jax
 
-    from neurosync_trainer_lite_tpu.config import Config
-    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
-    from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
-
-    cfg = Config(dropout=0.0)
-    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
-    ms = MultiStreamer(params, cfg, max_sessions=args.k,
-                       fused_decode=bool(args.fused), stall_watchdog_s=None)
-    t0 = time.perf_counter()
-    ms.warmup(warm_fallback=False)
-    print(f"warmup {time.perf_counter() - t0:.1f} s", flush=True)
-
     rng = np.random.default_rng(0)
-    sids = [ms.open() for _ in range(args.k)]
-    for sid in sids:
-        ms.push_audio(sid, (rng.standard_normal(int(cfg.sr * 2.2)) * 8000
-                            ).astype(np.int16))
-    while ms.tick():
-        pass
+    sids = prime_sessions(ms, cfg, args.k, rng)
 
-    win_stride_s = (cfg.frame_size - cfg.overlap) / cfg.frame_rate
-    top = int(cfg.sr * (win_stride_s + 0.3))
+    top = int(cfg.sr * (window_stride_s(cfg) + 0.3))
     jax.profiler.start_trace(args.trace_dir)
     n_decode = 0
     for _ in range(args.reps):
-        for sid in sids:
-            ms.push_audio(sid, (rng.standard_normal(top) * 8000
-                                ).astype(np.int16))
-        for _ in range(8):
-            out = ms.tick()
-            if sum(out.values()) > 0:
-                n_decode += 1
-                break
-        while ms.tick():
-            pass
+        # hunt_decode_tick drains catch-up ticks inside the traced region —
+        # attribute() divides leaf time by n_decode, so the printout below
+        # notes the extra intake ticks explicitly
+        hunt_decode_tick(ms, sids, rng, cfg, top_samples=top)
+        n_decode += 1
     jax.profiler.stop_trace()
     print(f"{n_decode} decode ticks traced (plus catch-up/intake ticks)")
 

@@ -47,10 +47,15 @@ def main():
                             "fastattn", "fusedqkv", "projonly", "notranspose",
                             "attndrop-skip", "attndrop-bf16",
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
-                            "ffn-nokeep", "dropout-regen", "mask-lean",
                             "unroll-dec-tail", "unroll-remat-head",
                             "sdpa-nonlean", "sdpa-lean-nosplit", "no-opt"),
-                   help="ablate/prototype a component (diagnostic only)")
+                   help="ablate/prototype a component (diagnostic only). "
+                        "The r3 forward prototypes (ffn-nokeep, "
+                        "dropout-regen, mask-lean) SHIPPED as defaults and "
+                        "were removed — they measured zero delta once "
+                        "identical code became the baseline; ffn-autodiff / "
+                        "ln-autodiff / sdpa-nonlean are their reverse "
+                        "ablations (docs/PERF.md has the win tables)")
     p.add_argument("--unroll-residents", type=int, default=1,
                    help="Config.unroll_residents (1 = shipped default; 0 "
                         "ablates back to lax.scan-ing resident layers)")
@@ -127,114 +132,6 @@ def main():
             return _linear(h, p["linear2"])
 
         s2s._ffn = ffn_plain
-    if args.patch in ("ffn-nokeep", "mask-lean"):
-        # prototype: drop the [B,T,4H] bool keep-mask from the FFN lean-vjp
-        # residuals — (am > 0) already implies kept AND relu-active (dropped
-        # or bf16-rounded-to-zero elements get zero cotangent either way,
-        # exactly as the shipped keep & (am > 0) formulation does), so the
-        # saved mask is mathematically redundant: ~67 MB/site × 16 sites.
-        import functools as _ft
-
-        import jax as _jax
-        import jax.numpy as _jnp
-        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
-
-        @_jax.custom_vjp
-        def ffn_core(x, w1, b1, w2, b2, keep, scale):
-            return s2s._ffn_lean_core(x, w1, b1, w2, b2, keep, scale)
-
-        def ffn_fwd(x, w1, b1, w2, b2, keep, scale):
-            h1 = (_jnp.dot(x, w1.astype(x.dtype),
-                           preferred_element_type=_jnp.float32)
-                  + b1.astype(_jnp.float32)).astype(x.dtype)
-            am = _jnp.where(keep, _jax.nn.relu(h1) * scale.astype(x.dtype), 0
-                            ).astype(x.dtype)
-            y = (_jnp.dot(am, w2.astype(x.dtype),
-                          preferred_element_type=_jnp.float32)
-                 + b2.astype(_jnp.float32)).astype(x.dtype)
-            return y, (x, am, scale, w1, w2)
-
-        def ffn_bwd(res, dy):
-            x, am, scale, w1, w2 = res
-            red = tuple(range(dy.ndim - 1))
-            db2 = _jnp.sum(dy.astype(_jnp.float32), axis=red)
-            dw2 = _jnp.einsum("...f,...o->fo", am, dy,
-                              preferred_element_type=_jnp.float32)
-            dam = _jnp.dot(dy, w2.astype(dy.dtype).T,
-                           preferred_element_type=_jnp.float32).astype(dy.dtype)
-            dh1 = _jnp.where(am > 0, dam * scale.astype(dam.dtype), 0
-                             ).astype(dy.dtype)
-            db1 = _jnp.sum(dh1.astype(_jnp.float32), axis=red)
-            dw1 = _jnp.einsum("...f,...o->fo", x, dh1,
-                              preferred_element_type=_jnp.float32)
-            dx = _jnp.dot(dh1, w1.astype(dh1.dtype).T,
-                          preferred_element_type=_jnp.float32).astype(dy.dtype)
-            return dx, dw1, db1, dw2, db2, None, None
-
-        ffn_core.defvjp(ffn_fwd, ffn_bwd)
-        s2s._ffn_lean_core_patched = ffn_core
-        _orig_ffn = s2s._ffn
-
-        def ffn_route(p, x, *, rate, rng, train):
-            if x.dtype == _jnp.bfloat16 and train and rng is not None:
-                w1 = p["linear1"]["w"]
-                q = int(round(rate * 256))
-                if q < 256:
-                    if q <= 0:
-                        keep = _jnp.ones(x.shape[:-1] + (w1.shape[-1],), bool)
-                        scale = _jnp.float32(1.0)
-                    else:
-                        bits = _jax.random.bits(
-                            rng, x.shape[:-1] + (w1.shape[-1],), _jnp.uint8)
-                        keep = bits >= q
-                        scale = _jnp.float32(256.0 / (256 - q))
-                    return ffn_core(x, w1, p["linear1"]["b"],
-                                    p["linear2"]["w"], p["linear2"]["b"],
-                                    keep, scale)
-            return _orig_ffn(p, x, rate=rate, rng=rng, train=train)
-
-        s2s._ffn = ffn_route
-    if args.patch in ("dropout-regen", "mask-lean"):
-        # prototype: custom-vjp dropout that saves only the KEY and redraws
-        # the mask bits in the backward (rbg hardware RNG measured ~free in
-        # fwd) instead of keeping ~uint8 masks alive across fwd→bwd
-        import functools as _ft
-
-        import jax as _jax
-        import jax.numpy as _jnp
-        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
-        from neurosync_trainer_lite_tpu.ops import attention as am
-
-        @_ft.partial(_jax.custom_vjp, nondiff_argnums=(2,))
-        def _regen_core(x, rng, q):
-            bits = _jax.random.bits(rng, x.shape, _jnp.uint8)
-            scale = _jnp.asarray(256.0 / (256 - q), x.dtype)
-            return _jnp.where(bits >= q, x * scale, 0).astype(x.dtype)
-
-        def _regen_fwd(x, rng, q):
-            return _regen_core(x, rng, q), rng
-
-        def _regen_bwd(q, rng, dy):
-            bits = _jax.random.bits(rng, dy.shape, _jnp.uint8)
-            scale = _jnp.asarray(256.0 / (256 - q), dy.dtype)
-            return (_jnp.where(bits >= q, dy * scale, 0).astype(dy.dtype),
-                    None)
-
-        _regen_core.defvjp(_regen_fwd, _regen_bwd)
-
-        def dropout_regen(x, rate, rng, train):
-            if not train or rate == 0.0 or rng is None:
-                return x
-            q = int(round(rate * 256))
-            if q <= 0:
-                return x
-            if q >= 256:
-                return _jnp.zeros_like(x)
-            return _regen_core(x, rng, q)
-
-        am.dropout = dropout_regen
-        s2s.dropout = dropout_regen
-
     if args.patch == "ln-autodiff":
         # REVERSE ablation: plain-autodiff LayerNorm (fp32 [B,T,H] residuals)
         # over the shipped lean-residual custom vjp
