@@ -290,6 +290,15 @@ class MultiStreamer:
         self._sessions: dict[int, _Session] = {}
         self._next_id = 0
 
+        #: ops counters + a rolling window of recent tick wall-times —
+        #: cheap enough to be always-on; surfaced by the HTTP server's
+        #: GET /metrics (inference/server.py) and readable directly in
+        #: embedded deployments via metrics_snapshot()
+        from collections import deque
+        self._counters = {"ticks": 0, "decode_ticks": 0, "frames_out": 0,
+                          "watchdog_flips": 0, "ring_recoveries": 0}
+        self._tick_times: deque[float] = deque(maxlen=512)
+
     # -- session lifecycle ---------------------------------------------------
 
     def open(self, *, smooth: bool = False) -> int:
@@ -372,6 +381,40 @@ class MultiStreamer:
         rebuilds every session from its host shadow and retries once —
         no audio and no emitted-frame continuity is lost.
         """
+        t0 = time.perf_counter()
+        out = self._tick_impl(final_ids=final_ids, _retry=_retry)
+        self._tick_times.append(time.perf_counter() - t0)
+        c = self._counters
+        c["ticks"] += 1
+        n = sum(out.values())
+        if n:
+            c["decode_ticks"] += 1
+            c["frames_out"] += n
+        return out
+
+    def metrics_snapshot(self) -> dict:
+        """Ops counters + recent tick-latency percentiles (last ≤512 ticks).
+
+        decode_ticks counts ticks that finalized ≥1 frame; watchdog_flips
+        counts fused→two-dispatch fallbacks; ring_recoveries counts device
+        failures survived by the host-shadow rebuild. Served over HTTP as
+        GET /metrics (inference/server.py)."""
+        times = np.asarray(self._tick_times, dtype=float) * 1e3
+        snap = dict(self._counters)
+        snap.update(
+            live_sessions=self.n_active,
+            max_sessions=self.max_sessions,
+            fused_decode=self.fused,
+            tick_p50_ms=round(float(np.percentile(times, 50)), 2)
+            if times.size else None,
+            tick_p95_ms=round(float(np.percentile(times, 95)), 2)
+            if times.size else None,
+            tick_max_ms=round(float(times.max()), 2) if times.size else None,
+        )
+        return snap
+
+    def _tick_impl(self, *, final_ids=(), _retry: bool = True
+                   ) -> dict[int, int]:
         final_ids = set(final_ids)
         # snapshot: the watchdog below may flip self.fused for FUTURE ticks;
         # this tick's branching must stay consistent throughout
@@ -484,7 +527,9 @@ class MultiStreamer:
             print(f"serving tick failed ({e!r}) — rebuilding device rings "
                   "from host shadows and retrying")
             self._recover_rings()
-            return self.tick(final_ids=final_ids, _retry=False)
+            # _tick_impl, not tick: the retry stays inside the caller's
+            # timing/counter window instead of double-counting a tick
+            return self._tick_impl(final_ids=final_ids, _retry=False)
 
         dt = time.perf_counter() - t0
         # first use of a fused program signature (session bucket × upload
@@ -506,6 +551,7 @@ class MultiStreamer:
                   "to the two-dispatch tick family (fused_decode=False) for "
                   "subsequent ticks; the stall family is the fused program "
                   "(docs/PERF.md rare-stall note)")
+            self._counters["watchdog_flips"] += 1
             self.fused = False
 
         if fused:
@@ -550,6 +596,7 @@ class MultiStreamer:
         so buffer-space indices and the consumption cursor stay valid) is
         re-queued ahead of any still-pending audio and re-uploaded over the
         following ticks through the normal intake path."""
+        self._counters["ring_recoveries"] += 1
         self._buf = jnp.zeros((self._kcap, self._s_cap), jnp.float32)
         for st in self._sessions.values():
             if len(st.shadow):

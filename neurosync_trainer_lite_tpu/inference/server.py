@@ -11,6 +11,9 @@ so the framework is servable out of the box:
     POST /audio_to_blendshapes   body: audio bytes (wav/anything ffmpeg reads)
         → {"blendshapes": [[...61 floats...], ...]}   (60 fps frames)
     GET  /healthz                → {"ok": true}
+    GET  /metrics                → ops counters + tick-latency percentiles
+        (live_sessions, decode_ticks, frames_out, watchdog_flips,
+        ring_recoveries, tick_p50/p95/max_ms — MultiStreamer.metrics_snapshot)
 
 Live sessions (MultiStreamer-backed — K concurrent streams batched into one
 device program per tick, inference/multi_stream.py):
@@ -79,6 +82,18 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
+            elif self.path == "/metrics":
+                # ops surface: tick-latency percentiles + counters
+                # (watchdog flips, ring recoveries) from the live streamer.
+                # Reported without instantiating it — a batch-only server
+                # stays lazy and reports not-started
+                ms = state["ms"]
+                if ms is None:
+                    self._send(200, {"live_sessions": 0,
+                                     "streamer_started": False})
+                else:
+                    self._send(200, {"streamer_started": True,
+                                     **ms.metrics_snapshot()})
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -196,7 +211,9 @@ def warmup_handler(httpd) -> int:
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="out/model.pth")
+    parser.add_argument("--model", default="out/model.pth",
+                        help="model.pth (torch interchange) or a training "
+                             "checkpoint directory (torch-free)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8200)
     parser.add_argument("--platform", default=None, choices=("cpu", "tpu"))

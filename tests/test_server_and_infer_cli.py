@@ -47,6 +47,13 @@ def test_http_server_roundtrip(cfg_params):
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
             assert json.load(r) == {"ok": True}
 
+        # batch-only server: /metrics must answer WITHOUT instantiating the
+        # lazy MultiStreamer (that would compile serving programs for free)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            assert json.load(r) == {"live_sessions": 0,
+                                    "streamer_started": False}
+
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/audio_to_blendshapes",
             data=_wav_bytes(cfg.sr), method="POST")
@@ -176,5 +183,16 @@ def test_live_session_endpoints(cfg_params):
         except urllib.error.HTTPError as e:
             raised = e.code == 404
         assert raised
+
+        # /metrics reflects the traffic above: ticks ran, frames came out,
+        # latency percentiles populated, no fault-path counters tripped
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            m = json.load(r)
+        assert m["streamer_started"] is True
+        assert m["ticks"] > 0 and m["decode_ticks"] > 0
+        assert m["frames_out"] >= frames.shape[0]
+        assert m["tick_p50_ms"] is not None and m["tick_p95_ms"] >= m["tick_p50_ms"]
+        assert m["watchdog_flips"] == 0 and m["ring_recoveries"] == 0
+        assert m["live_sessions"] == 0  # both sessions closed
     finally:
         httpd.shutdown()
