@@ -153,6 +153,10 @@ def test_stall_watchdog_switches_to_two_dispatch_mid_session(setup):
         ref.tick()
     assert ms.fused is False      # the watchdog flipped it
     assert ref.fused is True
+    # ops counters see the flip (GET /metrics surfaces these)
+    m, mr = ms.metrics_snapshot(), ref.metrics_snapshot()
+    assert m["watchdog_flips"] == 1 and mr["watchdog_flips"] == 0
+    assert m["ticks"] > 0 and m["tick_p50_ms"] is not None
     ms.flush(sid)
     ref.flush(rid)
     got, want = ms.pop_frames(sid), ref.pop_frames(rid)
