@@ -361,9 +361,10 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
         # calls save_checkpoint/load_checkpoint and Orbax writes/reads each
         # process's addressable shards, so DP-replicated AND cross-host
         # TP-sharded state both work. Host-side artifacts (plots, CSVs,
-        # model.pth export) stay process-0-only; the .pth EXPORT still needs
-        # process 0 to address every param shard (true for DP replication
-        # and single-host TP — a cross-host-TP export would need a gather).
+        # model.pth export, fixed-wav validation) stay process-0-only, fed
+        # by host_local_params — a collective gather-to-host every process
+        # runs, so cross-host-TP-sharded params export fine too (exercised
+        # by the tp=4 section of tests/multihost_worker.py).
         save_artifacts = save_artifacts and jax.process_index() == 0
 
     n_data_shards = dict(zip(mesh.axis_names, mesh.devices.shape))["data"] \
@@ -433,16 +434,32 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             # in multi-process jobs — every process calls this.
             save_checkpoint(state, epoch, batch_step, cfg,
                             async_save=cfg.async_checkpoint)
+        export_params = state.params
+        if save_ckpt and jax.process_count() > 1:
+            # COLLECTIVE (every process): gather any cross-host-sharded
+            # leaves and pull to process-local host arrays, so process 0's
+            # export + validation below never touch a global array they
+            # can't address — this is what makes cross-host-TP artifacts
+            # work, not just DP-replicated/single-host-TP ones
+            from neurosync_trainer_lite_tpu.parallel.distributed import (
+                host_local_params)
+            export_params = host_local_params(state.params)
         if save_artifacts:
-            save_final_model(state.params, cfg,
+            save_final_model(export_params, cfg,
                              async_save=cfg.async_checkpoint)
             if have_val_assets:
                 generate_and_save_facial_data(
-                    epoch, cfg.audio_path, state.params,
+                    epoch, cfg.audio_path, export_params,
                     cfg.ground_truth_path, cfg)
 
     if save_ckpt:
         wait_for_pending_saves()
-    if save_artifacts:
-        save_final_model(state.params, cfg)
+        if jax.process_count() > 1:
+            from neurosync_trainer_lite_tpu.parallel.distributed import (
+                host_local_params)
+            final_params = host_local_params(state.params)  # collective
+        else:
+            final_params = state.params
+        if save_artifacts:
+            save_final_model(final_params, cfg)
     return state, batch_step

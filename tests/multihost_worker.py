@@ -122,3 +122,43 @@ if ckpt_dir:
                        host_put(trg, sharding), jax.random.PRNGKey(9))
     print(f"MULTIHOST_CKPT p{process_id} ok=1 loss={float(loss2):.8f}",
           flush=True)
+
+# ---- cross-host-TP artifact export (host_local_params gather) -------------
+# tp=4 over 2 processes x 2 devices: every attention/FFN weight is sharded
+# across BOTH hosts — not fully addressable by process 0 and not replicated,
+# exactly the case the process-0-only model.pth export could never handle
+# without a collective gather.
+from neurosync_trainer_lite_tpu.parallel.distributed import (  # noqa: E402
+    host_local_params,
+)
+
+cfg_tp = tiny_config(batch_size=8, micro_batch_size=16, dp=1, tp=4)
+mesh_tp = make_mesh(cfg_tp)
+state_tp, tx_tp = init_train_state(cfg_tp, steps_per_epoch=4)
+host_params = jax.tree.map(np.asarray, state_tp.params)  # pre-shard truth
+state_tp = shard_state(state_tp, cfg_tp, mesh_tp, tx_tp)
+leaves_tp = jax.tree.leaves(state_tp.params)
+assert any(not (x.sharding.is_fully_replicated or x.is_fully_addressable)
+           for x in leaves_tp), "tp=4 mesh unexpectedly host-local"
+
+local = host_local_params(state_tp.params)  # collective: both processes
+for a, b in zip(jax.tree.leaves(host_params), jax.tree.leaves(local)):
+    np.testing.assert_array_equal(a, b)
+
+export_ok = 1
+if process_id == 0 and ckpt_dir:
+    # the real artifact path: reference-format .pth round-trip on the
+    # gathered params, process 0 only
+    from neurosync_trainer_lite_tpu.utils.torch_interop import (
+        load_torch_model,
+        save_torch_model,
+        torch_available,
+    )
+
+    if torch_available():
+        pth = ckpt_dir + "/model_tp4.pth"
+        save_torch_model(local, cfg_tp, pth)
+        back = load_torch_model(pth, cfg_tp)
+        for a, b in zip(jax.tree.leaves(host_params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+print(f"MULTIHOST_EXPORT p{process_id} ok={export_ok}", flush=True)

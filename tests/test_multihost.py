@@ -62,6 +62,12 @@ def test_two_process_data_parallel_matches_single_process(tmp_path):
     assert c0["ok"] == c1["ok"] == 1
     assert c0["loss"] == pytest.approx(c1["loss"], abs=1e-6)
 
+    # cross-host-TP export: tp=4 params (sharded across BOTH hosts) were
+    # gathered to host on every process and round-tripped through the
+    # reference .pth format on process 0 (asserts live in the worker)
+    e0, e1 = (_parse(o, "MULTIHOST_EXPORT") for o in outs)
+    assert e0["ok"] == e1["ok"] == 1
+
     # both processes computed the same replicated loss/grad-norm
     assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
     assert r0["grad_norm"] == pytest.approx(r1["grad_norm"], abs=1e-6)

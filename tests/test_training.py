@@ -281,3 +281,24 @@ def test_partial_remat_grads_match_no_remat(rng):
         assert float(l) == pytest.approx(float(ref_l), abs=1e-7)
         for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_host_local_params_gathers_tp_sharded_state():
+    """host_local_params returns plain host arrays equal to the originals,
+    for both TP-sharded and unsharded state. Single-process everything is
+    fully addressable (the no-gather fast path); the genuinely cross-host
+    case is exercised by tests/multihost_worker.py's tp=4 section."""
+    from neurosync_trainer_lite_tpu.parallel.distributed import (
+        host_local_params)
+    from neurosync_trainer_lite_tpu.training.step import shard_state
+
+    cfg = tiny_config(dp=2, tp=4)
+    mesh = make_mesh(cfg)
+    state, tx = init_train_state(cfg, steps_per_epoch=4,
+                                 rng=jax.random.PRNGKey(3))
+    want = jax.tree.map(np.asarray, state.params)
+    sharded = shard_state(state, cfg, mesh, tx)
+    got = host_local_params(sharded.params)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        assert isinstance(b, np.ndarray)
+        np.testing.assert_array_equal(a, b)
