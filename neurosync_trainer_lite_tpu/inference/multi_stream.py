@@ -295,9 +295,15 @@ class MultiStreamer:
         #: GET /metrics (inference/server.py) and readable directly in
         #: embedded deployments via metrics_snapshot()
         from collections import deque
+        import threading
         self._counters = {"ticks": 0, "decode_ticks": 0, "frames_out": 0,
                           "watchdog_flips": 0, "ring_recoveries": 0}
         self._tick_times: deque[float] = deque(maxlen=512)
+        # guards _tick_times/_counters between a serving thread's tick()
+        # and a metrics scrape from another thread (ThreadingHTTPServer,
+        # embedded dashboards): deque iteration raises RuntimeError if the
+        # deque is appended-to mid-snapshot
+        self._metrics_lock = threading.Lock()
 
     # -- session lifecycle ---------------------------------------------------
 
@@ -382,14 +388,20 @@ class MultiStreamer:
         no audio and no emitted-frame continuity is lost.
         """
         t0 = time.perf_counter()
-        out = self._tick_impl(final_ids=final_ids, _retry=_retry)
-        self._tick_times.append(time.perf_counter() - t0)
-        c = self._counters
-        c["ticks"] += 1
+        try:
+            out = self._tick_impl(final_ids=final_ids, _retry=_retry)
+        finally:
+            # count FAILED ticks too (retry exhausted): a /metrics scrape
+            # after a device fault must show the tick and its (worst-case)
+            # latency, not just the ring_recoveries side effect
+            with self._metrics_lock:
+                self._tick_times.append(time.perf_counter() - t0)
+                self._counters["ticks"] += 1
         n = sum(out.values())
         if n:
-            c["decode_ticks"] += 1
-            c["frames_out"] += n
+            with self._metrics_lock:
+                self._counters["decode_ticks"] += 1
+                self._counters["frames_out"] += n
         return out
 
     def metrics_snapshot(self) -> dict:
@@ -399,8 +411,9 @@ class MultiStreamer:
         counts fused→two-dispatch fallbacks; ring_recoveries counts device
         failures survived by the host-shadow rebuild. Served over HTTP as
         GET /metrics (inference/server.py)."""
-        times = np.asarray(self._tick_times, dtype=float) * 1e3
-        snap = dict(self._counters)
+        with self._metrics_lock:
+            times = np.asarray(self._tick_times, dtype=float) * 1e3
+            snap = dict(self._counters)
         snap.update(
             live_sessions=self.n_active,
             max_sessions=self.max_sessions,
@@ -615,7 +628,12 @@ class MultiStreamer:
                 break
         else:
             raise RuntimeError("flush did not converge")
+        ready_pre_finish = st.asm.frames_ready
         st.asm.finish()
+        # frames released by finish() (e.g. a smooth session's held-back
+        # lookahead frame) bypass tick()'s return dict — count them here or
+        # the frames_out metric permanently undercounts per smooth stream
+        self._counters["frames_out"] += st.asm.frames_ready - ready_pre_finish
         return st.asm.frames_ready - before
 
     # -- warmup --------------------------------------------------------------

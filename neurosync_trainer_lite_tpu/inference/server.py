@@ -80,6 +80,12 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
             self.wfile.write(body)
 
         def do_GET(self):
+            try:
+                self._do_get()
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                self._send(400, {"error": str(e)})
+
+        def _do_get(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/metrics":

@@ -414,6 +414,31 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
               f"exists={os.path.exists(cfg.ground_truth_path)}). "
               f"No comparison stats/plots will be written.")
 
+    def _export_view(params):
+        """Params as process-0's artifact code (model.pth export, fixed-wav
+        validation) can consume them. Single process: the live pytree.
+        Multi-process: a host-local pytree — process-local jits and
+        np.asarray can't take global (non-fully-addressable) arrays — which
+        is a COLLECTIVE gather every process must join when any leaf is
+        cross-host-sharded (TP across hosts), and a process-0-only host
+        read otherwise. Skipped entirely when nothing downstream consumes
+        it (no torch for the export AND no golden pair for validation)."""
+        if jax.process_count() == 1:
+            return params
+        from neurosync_trainer_lite_tpu.parallel.distributed import (
+            host_local_params, needs_cross_host_gather)
+        from neurosync_trainer_lite_tpu.utils.torch_interop import (
+            torch_available)
+
+        if not (torch_available() or have_val_assets):
+            return params
+        if needs_cross_host_gather(params):
+            return host_local_params(params)  # collective: every process
+        if save_artifacts:  # process 0 alone; no collective needed
+            return host_local_params(params)
+        return params
+
+    export_params = None
     for epoch in range(start_epoch, cfg.n_epochs):
         # async saves from the previous epoch must land BEFORE training
         # resumes: the first train step DONATES the state buffers the save
@@ -434,16 +459,8 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             # in multi-process jobs — every process calls this.
             save_checkpoint(state, epoch, batch_step, cfg,
                             async_save=cfg.async_checkpoint)
-        export_params = state.params
-        if save_ckpt and jax.process_count() > 1:
-            # COLLECTIVE (every process): gather any cross-host-sharded
-            # leaves and pull to process-local host arrays, so process 0's
-            # export + validation below never touch a global array they
-            # can't address — this is what makes cross-host-TP artifacts
-            # work, not just DP-replicated/single-host-TP ones
-            from neurosync_trainer_lite_tpu.parallel.distributed import (
-                host_local_params)
-            export_params = host_local_params(state.params)
+        export_params = _export_view(state.params) if save_ckpt \
+            else state.params
         if save_artifacts:
             save_final_model(export_params, cfg,
                              async_save=cfg.async_checkpoint)
@@ -453,13 +470,17 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
                     cfg.ground_truth_path, cfg)
 
     if save_ckpt:
+        # raises COLLECTIVELY on async export errors (the allgather inside
+        # wait_for_pending_saves), so no process can unwind past this line
+        # alone and strand the others in the gather below
         wait_for_pending_saves()
-        if jax.process_count() > 1:
-            from neurosync_trainer_lite_tpu.parallel.distributed import (
-                host_local_params)
-            final_params = host_local_params(state.params)  # collective
-        else:
-            final_params = state.params
+        if export_params is None:
+            # the epoch loop never ran (resume at the final epoch) — the
+            # per-epoch export view was never built
+            export_params = _export_view(state.params)
         if save_artifacts:
-            save_final_model(final_params, cfg)
+            # synchronous final write: guaranteed-good model.pth even if a
+            # per-epoch async export went stale. Params are unchanged since
+            # the last epoch's view — no second gather.
+            save_final_model(export_params, cfg)
     return state, batch_step
