@@ -132,6 +132,39 @@ def test_infer_cli(cfg_params, tmp_path):
     assert len(df) > 0
 
 
+def test_infer_cli_from_checkpoint_dir(cfg_params, tmp_path):
+    """--model accepts an Orbax training checkpoint DIRECTORY (the
+    torch-free path) and produces the same CSV as the .pth route."""
+    cfg, params = cfg_params
+    from neurosync_trainer_lite_tpu.training.checkpoint import save_checkpoint
+    from neurosync_trainer_lite_tpu.training.step import init_train_state
+
+    state, _ = init_train_state(cfg, steps_per_epoch=4, params=params)
+    ckpt = str(tmp_path / "ckpt" / "checkpoint")
+    save_checkpoint(state, epoch=0, batch_step=1, cfg=cfg,
+                    checkpoint_path=ckpt)
+    wav_path = str(tmp_path / "in.wav")
+    with open(wav_path, "wb") as f:
+        f.write(_wav_bytes(cfg.sr))
+    pth_out, dir_out = str(tmp_path / "pth.csv"), str(tmp_path / "dir.csv")
+    model_path = str(tmp_path / "model.pth")
+    save_final_model(params, cfg, model_path)
+
+    from neurosync_trainer_lite_tpu import infer as infer_cli
+
+    common = ["--wav", wav_path, "--tiny",
+              "--frame_size", str(cfg.frame_size),
+              "--overlap", str(cfg.overlap)]
+    infer_cli.main(common + ["--model", model_path, "--out", pth_out])
+    infer_cli.main(common + ["--model", ckpt, "--out", dir_out])
+    import pandas as pd
+
+    a, b = pd.read_csv(pth_out), pd.read_csv(dir_out)
+    assert len(b) > 0 and b.shape[1] == 2 + 61
+    np.testing.assert_allclose(a.iloc[:, 2:].to_numpy(),
+                               b.iloc[:, 2:].to_numpy(), atol=1e-6)
+
+
 def test_live_session_endpoints(cfg_params):
     """MultiStreamer-backed live sessions over HTTP: open → pushes return
     incrementally finalized frames → flush returns the tail → close frees
