@@ -83,6 +83,7 @@ def test_randomized_schedule_matches_oracle(setup, seed):
 
     active = {}   # sid -> (oracle, remaining ticks before close)
     done = []
+    done_frames = []  # popped counts of closed sessions (metrics check)
 
     def open_session():
         sid = ms.open()
@@ -114,15 +115,27 @@ def test_randomized_schedule_matches_oracle(setup, seed):
             assert got.shape == want.shape
             np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
             done.append(sid)
+            done_frames.append(len(got))
             if len(active) < 2:
                 open_session()
+    popped = 0
     for sid, (single, _) in active.items():
         ms.flush(sid)
         single.flush()
         got, want = ms.pop_frames(sid), single.pop_frames()
+        popped += len(got)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
     assert done, "no session completed its lifecycle in the fuzz run"
+
+    # metrics bookkeeping must agree with what the surface delivered:
+    # every frame popped (incl. flush-finish tails) was counted, no fault
+    # paths fired, and latency percentiles exist for a run this size
+    m = ms.metrics_snapshot()
+    assert m["frames_out"] == popped + sum(done_frames)
+    assert m["decode_ticks"] <= m["ticks"] and m["decode_ticks"] > 0
+    assert m["watchdog_flips"] == 0 and m["ring_recoveries"] == 0
+    assert m["tick_p95_ms"] >= m["tick_p50_ms"] > 0
 
 
 def test_stall_watchdog_switches_to_two_dispatch_mid_session(setup):
