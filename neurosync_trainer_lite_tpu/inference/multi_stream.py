@@ -21,9 +21,14 @@ TPU-first design — three ideas:
    single jit. K sessions cost one dispatch and one bounded download
    (`[K, f_win, 256]` feature rows from each session's consumption point)
    instead of K full-feature downloads.
-3. **Cross-session batched decode.** Ready 128-frame windows from ALL
-   sessions stack into one `decode_chunks_batched` call (power-of-two row
-   buckets) — the 228M model runs at batch K, where the MXU is efficient.
+3. **Cross-session batched decode — over READY rows only.** At live
+   cadence a 128-frame window completes only every ~1.9 s of audio, so on
+   a decode tick typically ~K/8 sessions have one ready; the fused tick
+   gathers just those rows into a small [D] sub-batch (D = bucket of the
+   ready count, capped by `decode_bucket_cap`) for frontend + decode —
+   the other rows pay only the ring update. The two-dispatch fallback
+   instead stacks ready windows from all sessions into one
+   `decode_chunks_batched` call (power-of-two row buckets).
 
 Frame semantics are exactly `BlendshapeStreamer`'s (same `FrameAssembler`,
 same overlap-blend math, same CMVN-drift contract — inference/streaming.py);
@@ -157,19 +162,38 @@ def _tick_program(buf, idx, new, shift, buf_len, new_len, feat_start, *,
 @functools.partial(jax.jit, static_argnames=("sr", "cfg"),
                    donate_argnums=(1,))
 def _tick_fused(params, buf, idx, new, shift, buf_len, new_len,
-                win_start, win_take, *, sr: int, cfg):
-    """v2 serving tick: ring update → frontend → traced-window gather →
-    batched decode, ONE program — no feature download and no second
-    dispatch (the decode rides the same round-trip). win_start/win_take:
-    [K] i32 single-window plans computed host-side pre-tick; take == 0
-    rows decode garbage the host discards. Returns (buf, [K, frame, 61]
-    fp32 decoded windows)."""
+                dec_idx, win_start, win_take, *, sr: int, cfg):
+    """v3 serving tick: ring update over every gathered session row →
+    frontend + traced-window gather + batched decode over ONLY the [D]
+    rows that actually have a window ready, ONE program — no feature
+    download and no second dispatch (the decode rides the same
+    round-trip).
+
+    At live cadence a window completes only every ~1.9 s of audio per
+    session, so on a decode tick typically ~K/8 sessions are ready; the
+    v2 program ran the frontend AND the 228M decode over all K bucket
+    rows regardless (the device-trace knee attribution charged the whole
+    vmapped frontend + batch-K decode to every decode tick). D is a
+    separate (small) bucket: ready rows are gathered post-ring-update and
+    only they pay frontend + decode.
+
+    dec_idx: [D] i32 indices into THIS TICK's gathered row batch (not
+    ring rows); padding entries point at row 0 with win_take == 0 and
+    decode garbage the host discards. win_start/win_take: [D] i32
+    single-window plans computed host-side pre-tick. Returns
+    (buf, [D, frame, 61] fp32 decoded windows)."""
     from neurosync_trainer_lite_tpu.models.seq2seq import seq2seq_apply
 
     frame_len = cfg.frame_size
 
-    def one(b, nw, sh, bl, nl, ws, wt):
-        b, total = _ring_update(b, nw, sh, bl, nl)
+    def ring_one(b, nw, sh, bl, nl):
+        return _ring_update(b, nw, sh, bl, nl)
+
+    rows, totals = jax.vmap(ring_one)(
+        buf[jnp.clip(idx, 0, buf.shape[0] - 1)],
+        new, shift, buf_len, new_len)
+
+    def win_one(b, total, ws, wt):
         feats = extract_features_valid(b, total, sr)      # [T60_cap, 256]
         # reflect-padded window at traced (start, take): row j maps to
         # min(m, p-m), m = j mod p, p = 2(take-1) — numpy's multi-
@@ -179,11 +203,10 @@ def _tick_fused(params, buf, idx, new, shift, buf_len, new_len,
         p = jnp.maximum(2 * (wt - 1), 1)
         m = j % p
         rel = jnp.minimum(m, p - m)
-        return b, feats[ws + rel]                         # [frame, 256]
+        return feats[ws + rel]                            # [frame, 256]
 
-    rows, wins = jax.vmap(one)(buf[jnp.clip(idx, 0, buf.shape[0] - 1)],
-                               new, shift, buf_len, new_len,
-                               win_start, win_take)
+    sel = jnp.clip(dec_idx, 0, rows.shape[0] - 1)
+    wins = jax.vmap(win_one)(rows[sel], totals[sel], win_start, win_take)
     decoded = seq2seq_apply(params, wins, cfg)
     return buf.at[idx].set(rows, mode="drop"), decoded.astype(jnp.float32)
 
@@ -219,7 +242,9 @@ class MultiStreamer:
                  f_win: int = 256, trim_threshold: int = 256,
                  trim_margin: int = 64, max_buffer_seconds: float | None = None,
                  fused_decode: bool = True,
-                 stall_watchdog_s: float | None = 30.0):
+                 stall_watchdog_s: float | None = 30.0,
+                 decode_bucket_cap: int | None = 8,
+                 push_seconds: float | None = None):
         self.params = params
         self.cfg = cfg
         self.max_sessions = max_sessions
@@ -269,8 +294,29 @@ class MultiStreamer:
         tail_room = self._frame_samples // 2 + 1  # autocorr reflected tail
         self._s_cap = pow2_bucket(bound + tail_room)
         self._s_avail = self._s_cap - tail_room
-        #: per-tick new-sample capacity per session (≈1.5 s at 88.2 kHz)
-        self.push_capacity = min(1 << 17, self._s_cap // 2)
+        #: per-tick new-sample capacity per session. The tick uploads a
+        #: dense [K_bucket, push_capacity] array every tick regardless of
+        #: how much audio is actually queued, so this width is the
+        #: dominant per-tick upload cost. The default (≈1.5 s at 88.2 kHz)
+        #: favors backlog catch-up; live deployments pushing every ~0.25 s
+        #: can pass push_seconds≈0.5 for ~3× fewer upload bytes per tick
+        #: (a backlogged session then catches up at push_seconds per tick).
+        if push_seconds is None:
+            self.push_capacity = min(1 << 17, self._s_cap // 2)
+        else:
+            self.push_capacity = min(
+                pow2_bucket(max(1, int(push_seconds * cfg.sr))),
+                self._s_cap // 2)
+        #: fused-tick decode bucket cap: a decode tick gathers the rows
+        #: with a ready window into a [D] sub-batch (D = bucket of the
+        #: ready count) instead of running frontend+decode over all K
+        #: bucket rows. The cap bounds the program family (D walks the
+        #: bucket ladder up to it) and per-tick decode latency; rows past
+        #: the cap simply stay ready and decode on the next tick (live
+        #: cadence self-balances: a decoded session isn't ready again for
+        #: ~1.9 s). None = decode every ready row in one tick (D up to the
+        #: session bucket).
+        self.decode_bucket_cap = decode_bucket_cap
 
         # rows the device feature array actually has: the bucket's 120 fps
         # frame count pair-reduced with the odd frame DROPPED
@@ -457,10 +503,9 @@ class MultiStreamer:
         buf_len = np.zeros(k, np.int32)
         new_len = np.zeros(k, np.int32)
         feat_start = np.zeros(k, np.int32)
-        win_start = np.zeros(k, np.int32)
-        win_take = np.zeros(k, np.int32)
         offsets, takes = [], []
-        fused_plans: dict[int, tuple] = {}
+        # fused decode entries: (work-row index, sid, plan) per ready window
+        dec_entries: list[tuple[int, int, tuple]] = []
 
         for i, (sid, st) in enumerate(work):
             # trim first (frees intake room; renumbers the assembler)
@@ -503,13 +548,27 @@ class MultiStreamer:
                 plan = st.asm.plan_next(
                     t60_new, final=(sid in final_ids and not st.pending))
                 if plan is not None:
-                    win_start[i], win_take[i] = plan[0], plan[1]
-                    fused_plans[sid] = plan
+                    dec_entries.append((i, sid, plan))
+
+        # decode-row sub-batch: bucket the ready count, bounded by the cap —
+        # rows past the cap stay ready and decode next tick (plan_next is
+        # pure; nothing was consumed for a deferred row)
+        d = 0
+        if fused and dec_entries:
+            dcap = min(self.decode_bucket_cap or k, k)
+            dec_entries = dec_entries[:dcap]
+            d = session_bucket(len(dec_entries))
+            dec_idx = np.zeros(d, np.int32)
+            win_start = np.zeros(d, np.int32)
+            win_take = np.zeros(d, np.int32)
+            for j, (i, _sid, plan) in enumerate(dec_entries):
+                dec_idx[j] = i
+                win_start[j], win_take[j] = plan[0], plan[1]
 
         before = {sid: st.asm.frames_ready for sid, st in work}
         t0 = time.perf_counter()
         try:
-            if fused and not fused_plans:
+            if fused and not dec_entries:
                 # intake-only tick (the common case at live cadence: a
                 # window completes only every ~1.9 s of audio) — update the
                 # rings, skip the frontend+decode entirely
@@ -523,8 +582,8 @@ class MultiStreamer:
                     self.params, self._buf, jnp.asarray(idx),
                     jnp.asarray(new), jnp.asarray(shift),
                     jnp.asarray(buf_len), jnp.asarray(new_len),
-                    jnp.asarray(win_start), jnp.asarray(win_take),
-                    sr=self.cfg.sr, cfg=self.cfg)
+                    jnp.asarray(dec_idx), jnp.asarray(win_start),
+                    jnp.asarray(win_take), sr=self.cfg.sr, cfg=self.cfg)
                 decoded = np.asarray(decoded, dtype=np.float64)
             else:
                 self._buf, wins = _tick_program(
@@ -553,7 +612,7 @@ class MultiStreamer:
         # (Intake-only ticks don't fetch, so a stall there surfaces at —
         # and is bounded by — the next decode tick's fetch; the budget
         # applies to fetch-bearing ticks by design.)
-        sig = (k, new.dtype.str, bool(fused_plans))
+        sig = (k, new.dtype.str, d)
         first_use = fused and sig not in self._fused_seen
         if fused:
             self._fused_seen.add(sig)
@@ -570,9 +629,8 @@ class MultiStreamer:
         if fused:
             for i, (sid, st) in enumerate(work):
                 st.buf_len = int(buf_len[i]) - int(shift[i]) + takes[i]
-                plan = fused_plans.get(sid)
-                if plan is not None:
-                    st.asm.apply([plan], decoded[i][None])
+            for j, (i, sid, plan) in enumerate(dec_entries):
+                work[i][1].asm.apply([plan], decoded[j][None])
             return {sid: st.asm.frames_ready - before[sid]
                     for sid, st in work}
 
@@ -640,10 +698,10 @@ class MultiStreamer:
 
     def warmup(self, warm_fallback: bool = True, parallel: int = 1) -> int:
         """Pre-compile AND pre-execute every program a deployment can touch:
-        the tick program at each active-session bucket (× both push dtypes),
+        the tick program at each active-session bucket (× both push dtypes
+        × each reachable decode bucket, plus the ring-only intake tick),
         plus the decode program at each window bucket for the two-dispatch
-        family. Returns the number of executables warmed (each fused
-        bucket warms two: the decode tick and the ring-only intake tick).
+        family. Returns the number of executables warmed.
 
         warm_fallback (fused mode only): also warm the two-dispatch family
         the stall watchdog falls back to, so a mid-session flip costs one
@@ -686,18 +744,33 @@ class MultiStreamer:
             for new in (np.asarray(noise * 0.1, np.float32),
                         np.asarray(noise * 3000, np.int16)):
                 if self.fused:
-                    def _warm_fused(k=k, new=new):
-                        _, dec = _tick_fused(
-                            self.params,
-                            jnp.zeros((kcap, self._s_cap), jnp.float32),
-                            jnp.arange(k, dtype=jnp.int32),
-                            jnp.asarray(new), jnp.zeros(k, jnp.int32),
-                            jnp.zeros(k, jnp.int32),
-                            jnp.full(k, self.push_capacity, jnp.int32),
-                            jnp.zeros(k, jnp.int32),
-                            jnp.full(k, cfg.frame_size, jnp.int32),
-                            sr=cfg.sr, cfg=cfg)
-                        return dec[0, 0, 0]
+                    # decode-bucket ladder this k bucket can hit live:
+                    # D = bucket(ready rows) ≤ bucket(min(cap, k))
+                    dmax = session_bucket(
+                        min(self.decode_bucket_cap or k, k))
+                    dl = 1
+                    while True:
+                        def _warm_fused(k=k, new=new, d=dl):
+                            _, dec = _tick_fused(
+                                self.params,
+                                jnp.zeros((kcap, self._s_cap), jnp.float32),
+                                jnp.arange(k, dtype=jnp.int32),
+                                jnp.asarray(new), jnp.zeros(k, jnp.int32),
+                                jnp.zeros(k, jnp.int32),
+                                jnp.full(k, self.push_capacity, jnp.int32),
+                                jnp.arange(d, dtype=jnp.int32) % k,
+                                jnp.zeros(d, jnp.int32),
+                                jnp.full(d, cfg.frame_size, jnp.int32),
+                                sr=cfg.sr, cfg=cfg)
+                            return dec[0, 0, 0]
+
+                        thunks.append(_warm_fused)
+                        # warmed signatures get full watchdog protection
+                        # from their very first live tick
+                        self._fused_seen.add((k, new.dtype.str, dl))
+                        if dl >= dmax:
+                            break
+                        dl = session_bucket(dl + 1)
 
                     # intake-only variant (most live ticks decode nothing)
                     def _warm_ring(k=k, new=new):
@@ -708,11 +781,8 @@ class MultiStreamer:
                             jnp.full(k, self.push_capacity, jnp.int32))
                         return rb[0, 0]
 
-                    thunks += [_warm_fused, _warm_ring]
-                    # warmed signatures get full watchdog protection from
-                    # their very first live tick
-                    self._fused_seen.add((k, new.dtype.str, True))
-                    self._fused_seen.add((k, new.dtype.str, False))
+                    thunks.append(_warm_ring)
+                    self._fused_seen.add((k, new.dtype.str, 0))
                 if not self.fused or warm_fallback:
                     def _warm_tick(k=k, new=new):
                         _, wins = _tick_program(

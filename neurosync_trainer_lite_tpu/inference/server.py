@@ -47,7 +47,7 @@ MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
 def make_handler(params, cfg: Config, *, max_sessions: int = 8,
-                 fused_ticks: bool = True):
+                 fused_ticks: bool = True, push_seconds: float | None = None):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -61,7 +61,8 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
                 MultiStreamer)
             state["ms"] = MultiStreamer(params, cfg,
                                         max_sessions=max_sessions,
-                                        fused_decode=fused_ticks)
+                                        fused_decode=fused_ticks,
+                                        push_seconds=push_seconds)
         return state["ms"]
 
     class Handler(BaseHTTPRequestHandler):
@@ -198,10 +199,11 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
 
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
           *, server_class=HTTPServer, max_sessions: int = 8,
-          fused_ticks: bool = True):
+          fused_ticks: bool = True, push_seconds: float | None = None):
     httpd = server_class((host, port),
                          make_handler(params, cfg, max_sessions=max_sessions,
-                                      fused_ticks=fused_ticks))
+                                      fused_ticks=fused_ticks,
+                                      push_seconds=push_seconds))
     return httpd
 
 
@@ -236,6 +238,13 @@ def main(argv=None):
                         "download + separate batched decode (multiple "
                         "windows per session per tick — better for "
                         "offline catch-up-heavy feeds)")
+    parser.add_argument("--push_capacity_s", type=float, default=None,
+                        help="per-tick intake capacity in seconds of audio "
+                        "per session (default ≈1.5). The tick uploads a "
+                        "[sessions, capacity] array every tick, so live "
+                        "deployments pushing every ~0.25 s can set ~0.5 "
+                        "for ~3x fewer upload bytes per tick; backlogged "
+                        "sessions then catch up at this rate per tick")
     args = parser.parse_args(argv)
 
     import jax
@@ -253,7 +262,8 @@ def main(argv=None):
     params = load_model(args.model, cfg)
     httpd = serve(params, cfg, args.host, args.port,
                   max_sessions=args.max_sessions,
-                  fused_ticks=not args.two_dispatch_ticks)
+                  fused_ticks=not args.two_dispatch_ticks,
+                  push_seconds=args.push_capacity_s)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)

@@ -71,6 +71,80 @@ def test_multi_matches_independent_single_streamers(setup, fused):
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_decode_bucket_cap_defers_to_next_tick_and_matches_oracle(setup):
+    """Fused decode ticks gather only the ready rows into a [D] sub-batch,
+    D capped by decode_bucket_cap; when more sessions are ready than the
+    cap, the surplus must simply decode on a LATER tick (plan_next is pure
+    — nothing is consumed for a deferred row) and the final streams must
+    still equal independent single streamers."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    n = 5
+    audios = [(rng.standard_normal(int(cfg.sr * 3.0)) * 0.4
+               ).astype(np.float32) for _ in range(n)]
+
+    ms = _multi(params, cfg, max_sessions=8, fused_decode=True,
+                decode_bucket_cap=2)
+    sids = [ms.open() for _ in audios]
+    singles = [_single(params, cfg) for _ in audios]
+
+    # feed EVERY session a full window's worth before the first tick, so
+    # all 5 are ready simultaneously and the cap must defer 3 of them
+    for sid, single, audio in zip(sids, singles, audios):
+        ms.push_audio(sid, audio)
+        single.push_audio(audio)
+    out = ms.tick()
+    assert sum(1 for v in out.values() if v > 0) <= 2, \
+        "a capped tick decoded more sessions than decode_bucket_cap"
+    # deferred sessions drain over subsequent ticks with NO new audio
+    for _ in range(6):
+        if not ms.tick():
+            break
+    for sid, single in zip(sids, singles):
+        ms.flush(sid)
+        single.flush()
+        got = ms.pop_frames(sid)
+        want = single.pop_frames()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_push_seconds_shrinks_upload_width_and_matches_oracle(setup):
+    """push_seconds bounds the per-tick upload width; queued audio past it
+    spills to later ticks through the normal backpressure path, leaving
+    the decoded stream identical to a single streamer's."""
+    cfg, params = setup
+    wide = _multi(params, cfg, max_sessions=2)
+    narrow = _multi(params, cfg, max_sessions=2, push_seconds=0.5)
+    assert narrow.push_capacity < wide.push_capacity
+    assert narrow.push_capacity >= int(0.5 * cfg.sr)
+
+    rng = np.random.default_rng(33)
+    audio = (rng.standard_normal(int(cfg.sr * 4.0)) * 0.4).astype(np.float32)
+    sid = narrow.open()
+    single = _single(params, cfg)
+    narrow.push_audio(sid, audio)  # one push ≫ the narrow capacity
+    # mirror the multi's actual per-tick intake into the oracle (same
+    # pattern as the oversized-push test: identical buffer evolution)
+    fed = 0
+    for _ in range(100):
+        counts = narrow.tick(final_ids=(sid,) if fed >= len(audio) else ())
+        pending = narrow._sessions[sid].pending
+        taken = len(audio) - (len(pending[0]) if pending else 0)
+        assert taken - fed <= narrow.push_capacity
+        if taken > fed:
+            single.push_audio(audio[fed:taken])
+        fed = taken
+        if not counts and fed >= len(audio):
+            break
+    narrow.flush(sid)
+    single.flush()
+    got = narrow.pop_frames(sid)
+    want = single.pop_frames()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
 @pytest.mark.parametrize("seed", [21, 22])
 def test_randomized_schedule_matches_oracle(setup, seed):
     """Fuzz the serving surface: random push sizes (including empty ticks),

@@ -19,7 +19,8 @@ _UNSET = object()
 
 def build_streamer(*, max_sessions: int, fused: bool,
                    stall_watchdog_s=_UNSET, dropout: float = 0.0,
-                   warm_fallback=_UNSET, verbose: bool = True):
+                   warm_fallback=_UNSET, verbose: bool = True,
+                   decode_bucket_cap=_UNSET, push_seconds=_UNSET):
     """Persistent cache on → Config → random params → MultiStreamer →
     forced warmup. Returns (ms, cfg, n_warmed_programs).
 
@@ -43,6 +44,10 @@ def build_streamer(*, max_sessions: int, fused: bool,
     kw = {}
     if stall_watchdog_s is not _UNSET:
         kw["stall_watchdog_s"] = stall_watchdog_s
+    if decode_bucket_cap is not _UNSET:
+        kw["decode_bucket_cap"] = decode_bucket_cap
+    if push_seconds is not _UNSET:
+        kw["push_seconds"] = push_seconds
     ms = MultiStreamer(params, cfg, max_sessions=max_sessions,
                        fused_decode=fused, **kw)
     t0 = time.perf_counter()
@@ -81,12 +86,16 @@ def prime_sessions(ms, cfg, k: int, rng, *, seconds: float = 2.2) -> list:
 
 
 def hunt_decode_tick(ms, sids, rng, cfg, *, top_samples: int,
-                     max_ticks: int = 8):
-    """Top every session up past its next ready window, then tick until the
+                     max_ticks: int = 8, top_sids=None):
+    """Top sessions up past their next ready window, then tick until the
     tick that actually decodes (yields frames). Returns (dt_seconds,
     n_frames) for that decode tick, then drains catch-up ticks so repeated
-    calls stay comparable."""
-    for sid in sids:
+    calls stay comparable.
+
+    top_sids: which sessions to top up (default: all of sids) — topping a
+    subset measures the live-realistic decode tick where only ~K/8
+    sessions have a window ready while the rest are mid-window."""
+    for sid in (sids if top_sids is None else top_sids):
         push_noise(ms, sid, rng, top_samples)
     for _ in range(max_ticks):
         t1 = time.perf_counter()
