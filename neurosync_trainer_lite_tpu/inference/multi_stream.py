@@ -217,6 +217,11 @@ class _Session:
     asm: FrameAssembler
     buf_len: int = 0              # valid samples in the ring
     pending: list = field(default_factory=list)  # host-queued new audio
+    #: decode-fairness stamp: the _dec_seq value of this session's last
+    #: fused decode (-1 = never). When decode_bucket_cap binds, ready rows
+    #: are served least-recently-decoded first — plain work order would
+    #: starve late-opened sessions under sustained overload.
+    last_dec: int = -1
     #: host mirror of the ring content — the recovery source when a device
     #: fault (tunnel flap, preemption) loses the HBM rings. Costs only a
     #: bounded memcpy per tick: the samples are already on host at push time.
@@ -243,7 +248,7 @@ class MultiStreamer:
                  trim_margin: int = 64, max_buffer_seconds: float | None = None,
                  fused_decode: bool = True,
                  stall_watchdog_s: float | None = 30.0,
-                 decode_bucket_cap: int | None = 8,
+                 decode_bucket_cap: int | None | str = "auto",
                  push_seconds: float | None = None):
         self.params = params
         self.cfg = cfg
@@ -281,6 +286,7 @@ class MultiStreamer:
         #: watchdog exempts a signature's first use so an uncovered
         #: bucket's cold XLA compile isn't misread as a stall
         self._fused_seen: set = set()
+        self._dec_seq = 0  # fused-decode clock for last_dec fairness stamps
 
         self._frame_samples = int(0.01667 * cfg.sr)
         if self._frame_samples % 2:
@@ -294,6 +300,24 @@ class MultiStreamer:
         tail_room = self._frame_samples // 2 + 1  # autocorr reflected tail
         self._s_cap = pow2_bucket(bound + tail_room)
         self._s_avail = self._s_cap - tail_room
+        # Liveness floor: once a backlogged session's ring is full, progress
+        # needs EITHER a full decode window (frame_size unconsumed frames)
+        # OR an eligible trim (threshold+margin consumed frames) to free
+        # intake room. A ring that can't hold both deadlocks: no room to
+        # intake, no window to decode, no trim to free room (found by
+        # driving flush() with max_buffer_seconds=4.0 at the production
+        # trim settings).
+        floor_frames = trim_threshold + trim_margin + cfg.frame_size
+        cap_frames = num_frames_60(self._s_avail, self._frame_samples)
+        if cap_frames < floor_frames:
+            need_s = (floor_frames * self._frame_samples + tail_room
+                      ) / cfg.sr
+            raise ValueError(
+                f"max_buffer_seconds={max_buffer_seconds} gives a ring of "
+                f"{cap_frames} frames < trim_threshold + trim_margin + "
+                f"frame_size = {floor_frames}; a backlogged session would "
+                f"deadlock. Use max_buffer_seconds >= {need_s:.2f} or "
+                f"lower the trim settings.")
         #: per-tick new-sample capacity per session. The tick uploads a
         #: dense [K_bucket, push_capacity] array every tick regardless of
         #: how much audio is actually queued, so this width is the
@@ -315,7 +339,13 @@ class MultiStreamer:
         #: the cap simply stay ready and decode on the next tick (live
         #: cadence self-balances: a decoded session isn't ready again for
         #: ~1.9 s). None = decode every ready row in one tick (D up to the
-        #: session bucket).
+        #: session bucket). "auto" sizes the cap so decode keeps pace with
+        #: window production at a live 0.5 s push cadence (one window per
+        #: ~3.8 ticks per session → cap ≥ K/3, rounded to the bucket
+        #: ladder, floor 8): 8 through max_sessions=24, 16 at 32 —
+        #: measured K=32/cap-16 p99 415 ms, zero backlog (docs/PERF.md).
+        if decode_bucket_cap == "auto":
+            decode_bucket_cap = max(8, session_bucket(-(-max_sessions // 3)))
         self.decode_bucket_cap = decode_bucket_cap
 
         # rows the device feature array actually has: the bucket's 120 fps
@@ -556,7 +586,14 @@ class MultiStreamer:
         d = 0
         if fused and dec_entries:
             dcap = min(self.decode_bucket_cap or k, k)
-            dec_entries = dec_entries[:dcap]
+            if len(dec_entries) > dcap:
+                # fairness under sustained overload (ready rate > cap):
+                # serve least-recently-decoded sessions first. The stable
+                # sort keeps open-order among equal stamps, so this is
+                # round-robin in steady state; truncating raw work order
+                # instead would starve late-opened sessions forever.
+                dec_entries.sort(key=lambda e: work[e[0]][1].last_dec)
+                dec_entries = dec_entries[:dcap]
             d = session_bucket(len(dec_entries))
             dec_idx = np.zeros(d, np.int32)
             win_start = np.zeros(d, np.int32)
@@ -629,8 +666,11 @@ class MultiStreamer:
         if fused:
             for i, (sid, st) in enumerate(work):
                 st.buf_len = int(buf_len[i]) - int(shift[i]) + takes[i]
+            if dec_entries:
+                self._dec_seq += 1
             for j, (i, sid, plan) in enumerate(dec_entries):
                 work[i][1].asm.apply([plan], decoded[j][None])
+                work[i][1].last_dec = self._dec_seq
             return {sid: st.asm.frames_ready - before[sid]
                     for sid, st in work}
 

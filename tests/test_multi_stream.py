@@ -109,6 +109,75 @@ def test_decode_bucket_cap_defers_to_next_tick_and_matches_oracle(setup):
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_decode_cap_is_fair_under_sustained_overload(setup):
+    """When every session has a window ready on EVERY tick and the cap binds
+    (ready rate > decode_bucket_cap), service must rotate least-recently-
+    decoded-first — truncating raw work order would let the earliest-opened
+    session(s) monopolize the decode sub-batch and starve the rest."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    n = 4
+    ms = _multi(params, cfg, max_sessions=8, fused_decode=True,
+                decode_bucket_cap=1)
+    sids = [ms.open() for _ in range(n)]
+
+    # preload a deep backlog everywhere so every session stays ready for
+    # the whole run (8 s of audio >> 1 window per ~2 s)
+    for sid in sids:
+        ms.push_audio(
+            sid, (rng.standard_normal(int(cfg.sr * 8.0)) * 0.4
+                  ).astype(np.float32))
+
+    decodes = {sid: 0 for sid in sids}
+    for _ in range(2 * n):
+        out = ms.tick()
+        assert sum(1 for v in out.values() if v > 0) <= 1
+        for sid, v in out.items():
+            if v > 0:
+                decodes[sid] += 1
+    # 8 capped ticks at cap 1 over 4 equally-backlogged sessions: LRU
+    # rotation serves everyone ~equally (a decoded window can finalize 0
+    # NEW frames when the blend holds back the overlap tail, so allow ±1);
+    # work-order truncation would give (8, 0, 0, 0)
+    assert all(v >= 1 for v in decodes.values()), decodes
+    assert max(decodes.values()) - min(decodes.values()) <= 1, decodes
+
+
+def test_buffer_below_liveness_floor_is_rejected(setup):
+    """A ring too small to hold trim_threshold + trim_margin + frame_size
+    frames deadlocks a backlogged session (full ring: no intake room, no
+    complete window, trim not yet eligible) — constructing one must raise
+    instead of wedging flush() at runtime."""
+    cfg, params = setup
+    with pytest.raises(ValueError, match="deadlock"):
+        MultiStreamer(params, cfg, max_sessions=4,
+                      trim_threshold=256, trim_margin=64,
+                      max_buffer_seconds=4.0)
+
+
+def test_deep_backlog_flush_converges_under_decode_cap(setup):
+    """The scenario that exposed the liveness floor: sessions accumulate a
+    deep host-side backlog (pushes far ahead of ticks), then flush — with a
+    floor-respecting ring this must converge and deliver every frame."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    ms = _multi(params, cfg, max_sessions=8, fused_decode=True,
+                decode_bucket_cap=2)
+    sids = [ms.open() for _ in range(3)]
+    for sid in sids:
+        # ~12 s queued at once: many ring-fulls' worth of pending audio
+        ms.push_audio(sid, (rng.standard_normal(int(cfg.sr * 12.0)) * 0.4
+                            ).astype(np.float32))
+    for _ in range(4):
+        ms.tick()
+    for sid in sids:
+        ms.flush(sid)
+        f = ms.pop_frames(sid)
+        # 12 s at 60 fps, minus sub-frame tail rounding
+        assert f.shape[0] >= 12 * 60 - 2, f.shape
+        ms.close(sid)
+
+
 def test_push_seconds_shrinks_upload_width_and_matches_oracle(setup):
     """push_seconds bounds the per-tick upload width; queued audio past it
     spills to later ticks through the normal backpressure path, leaving

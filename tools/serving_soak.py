@@ -34,6 +34,9 @@ def main():
     p.add_argument("--churn", type=int, default=60,
                    help="close one + open one session every N ticks")
     p.add_argument("--push-seconds", type=float, default=0.5)
+    p.add_argument("--dcap", type=int, default=-1,
+                   help="decode_bucket_cap (-1 = production 'auto' default; "
+                        "0 = None, i.e. decode every ready row at once)")
     p.add_argument("--watchdog", default=None,
                    help="stall watchdog seconds; '-' disables; default: "
                         "production default (30)")
@@ -56,6 +59,8 @@ def main():
         kw["stall_watchdog_s"] = None
     elif args.watchdog is not None:
         kw["stall_watchdog_s"] = float(args.watchdog)
+    if args.dcap != -1:
+        kw["decode_bucket_cap"] = args.dcap or None
     ms, cfg, _ = build_streamer(max_sessions=args.max_sessions,
                                 fused=bool(args.fused), **kw)
 
@@ -145,6 +150,9 @@ def main():
         if t % 100 == 0:
             print(f"tick {t}: {dt * 1e3:.0f} ms, "
                   f"{sum(frames.values())} frames total", flush=True)
+    live_frames = int(sum(frames.values()))  # delivered during ticks —
+    # the liveness signal: a decode cap too small for the session count
+    # shows up as a growing backlog that only drains in the final flush
     for sid in sids:
         frames[sid] = frames.get(sid, 0) + ms.flush(sid)
         ms.pop_frames(sid)
@@ -154,6 +162,7 @@ def main():
     rec = {
         "name": args.name, "ticks": args.ticks, "fused": bool(args.fused),
         "sessions": args.sessions, "churn": args.churn,
+        "dcap": ms.decode_bucket_cap,
         "p50_ms": round(float(np.percentile(ms_lat, 50)), 1),
         "p95_ms": round(float(np.percentile(ms_lat, 95)), 1),
         "p99_ms": round(float(np.percentile(ms_lat, 99)), 1),
@@ -163,6 +172,7 @@ def main():
         "pressure": args.pressure, "pressure_every": args.pressure_every,
         "watchdog_flip_tick": flipped_at,
         "total_frames": int(sum(frames.values())),
+        "live_frames": live_frames,
     }
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
