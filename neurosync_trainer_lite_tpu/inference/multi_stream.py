@@ -328,6 +328,13 @@ class MultiStreamer:
         if push_seconds is None:
             self.push_capacity = min(1 << 17, self._s_cap // 2)
         else:
+            # a non-positive width silently degrades to 1 sample of intake
+            # per tick (a 128-frame window would need ~164k ticks) — reject
+            # it here; callers meaning "default" pass None
+            if push_seconds <= 0:
+                raise ValueError(
+                    f"push_seconds={push_seconds} must be > 0 "
+                    f"(or None for the default ≈1.5 s width)")
             self.push_capacity = min(
                 pow2_bucket(max(1, int(push_seconds * cfg.sr))),
                 self._s_cap // 2)
@@ -346,6 +353,18 @@ class MultiStreamer:
         #: measured K=32/cap-16 p99 415 ms, zero backlog (docs/PERF.md).
         if decode_bucket_cap == "auto":
             decode_bucket_cap = max(8, session_bucket(-(-max_sessions // 3)))
+        elif isinstance(decode_bucket_cap, str):
+            raise ValueError(
+                f"decode_bucket_cap={decode_bucket_cap!r}: the only string "
+                f"value is 'auto' (or pass an int >= 1, or None for no cap)")
+        elif decode_bucket_cap is not None and decode_bucket_cap < 1:
+            # 0 would mean "no cap" via the `or k` fallback at tick time
+            # (the opposite of what it reads as) and a negative cap slices
+            # dec_entries from the wrong end, deferring a ready window
+            # forever — fail here instead
+            raise ValueError(
+                f"decode_bucket_cap={decode_bucket_cap} must be >= 1, None "
+                f"(no cap), or 'auto'")
         self.decode_bucket_cap = decode_bucket_cap
 
         # rows the device feature array actually has: the bucket's 120 fps

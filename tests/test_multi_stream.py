@@ -155,6 +155,32 @@ def test_buffer_below_liveness_floor_is_rejected(setup):
                       max_buffer_seconds=4.0)
 
 
+def test_invalid_decode_cap_and_push_seconds_rejected(setup):
+    """Constructor-time validation: 0/negative caps would silently mean
+    'no cap' / truncate from the wrong end (deferring a ready window
+    forever), a non-'auto' string would TypeError at tick time, and a
+    non-positive push_seconds degrades intake to 1 sample/tick."""
+    cfg, params = setup
+    for bad in (0, -1, "Auto", "none"):
+        with pytest.raises(ValueError, match="decode_bucket_cap"):
+            MultiStreamer(params, cfg, max_sessions=4,
+                          decode_bucket_cap=bad)
+    for bad_push in (0.0, -0.5):
+        with pytest.raises(ValueError, match="push_seconds"):
+            MultiStreamer(params, cfg, max_sessions=4,
+                          push_seconds=bad_push)
+
+
+def test_auto_decode_cap_scales_with_session_count(setup):
+    """'auto' sizes the cap to keep decode pace with window production
+    (>= K/3.8 at live cadence, bucket-laddered, floor 8) — the measured
+    sizing rule from the K=32 capacity soak (docs/PERF.md)."""
+    cfg, params = setup
+    for k, want in ((4, 8), (8, 8), (16, 8), (24, 8), (32, 16)):
+        ms = MultiStreamer(params, cfg, max_sessions=k)
+        assert ms.decode_bucket_cap == want, (k, ms.decode_bucket_cap)
+
+
 def test_deep_backlog_flush_converges_under_decode_cap(setup):
     """The scenario that exposed the liveness floor: sessions accumulate a
     deep host-side backlog (pushes far ahead of ticks), then flush — with a

@@ -36,7 +36,7 @@ def main():
                    "Live cadence readies only ~K/8 per tick; the sparse "
                    "fused decode gathers just those rows")
     p.add_argument("--dcap", type=int, default=-1,
-                   help="decode_bucket_cap (-1 = MultiStreamer default 8; "
+                   help="decode_bucket_cap (-1 = production 'auto' default; "
                    "0 = None, i.e. decode every ready row at once)")
     p.add_argument("--push_s", type=float, default=0.0,
                    help="push_seconds intake width (0 = default ≈1.5 s)")
@@ -48,11 +48,16 @@ def main():
         build_streamer, hunt_decode_tick, prime_sessions, push_noise,
         window_stride_s)
 
-    # watchdog off: a stall here must be MEASURED, not auto-recovered
+    # watchdog off: a stall here must be MEASURED, not auto-recovered.
+    # --dcap -1 leaves decode_bucket_cap unset so probes measure the
+    # PRODUCTION default ('auto'); the JSONL records the resolved cap
+    # from the streamer itself, never a re-derived copy.
+    kw = {}
+    if args.dcap != -1:
+        kw["decode_bucket_cap"] = args.dcap or None
     ms, cfg, _ = build_streamer(
         max_sessions=args.k, fused=bool(args.fused), stall_watchdog_s=None,
-        decode_bucket_cap=(8 if args.dcap == -1 else (args.dcap or None)),
-        push_seconds=args.push_s or None)
+        push_seconds=args.push_s or None, **kw)
 
     rng = np.random.default_rng(0)
     # prime each ring past the first window so intake ticks are pure intake
@@ -89,7 +94,7 @@ def main():
     dm = np.asarray(decode) * 1e3
     rec = {"name": args.name, "k": args.k, "fused": bool(args.fused),
            "ready": args.ready or args.k,
-           "dcap": (8 if args.dcap == -1 else (args.dcap or None)),
+           "dcap": ms.decode_bucket_cap,
            "push_s": args.push_s or None,
            "intake_p50_ms": round(float(np.percentile(im, 50)), 1),
            "intake_p95_ms": round(float(np.percentile(im, 95)), 1),
