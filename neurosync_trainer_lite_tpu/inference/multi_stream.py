@@ -249,12 +249,28 @@ class MultiStreamer:
                  fused_decode: bool = True,
                  stall_watchdog_s: float | None = 30.0,
                  decode_bucket_cap: int | None | str = "auto",
-                 push_seconds: float | None = None):
+                 push_seconds: float | None = None,
+                 push_formats: tuple = ("f32", "s16")):
         self.params = params
         self.cfg = cfg
         self.max_sessions = max_sessions
         self.trim_threshold = trim_threshold
         self.trim_margin = trim_margin
+        #: upload formats this deployment pushes — "f32" (float32) and/or
+        #: "s16" (raw int16 PCM). Drives warmup()'s default program family
+        #: (a single-format deployment warms half of it — the dominant
+        #: cold-start cost) and the dtype of the EMPTY upload buffer on
+        #: ticks with no queued audio (idle/flush ticks, the most common
+        #: kind — they must ride a warmed signature too). Pushing an
+        #: unlisted format still works: its first tick compiles lazily and
+        #: the watchdog exempts a signature's first use.
+        bad = set(push_formats) - {"f32", "s16"}
+        if bad or not push_formats:
+            raise ValueError(
+                f"push_formats={push_formats!r}: must be a non-empty "
+                f"subset of ('f32', 's16')")
+        self.push_formats = tuple(push_formats)
+        self._empty_i16 = "f32" not in self.push_formats
         #: stall watchdog: if a fused tick exceeds this wall-time budget,
         #: the streamer logs loudly and switches itself to the two-dispatch
         #: family for all subsequent ticks — bounding the damage to ONE
@@ -538,7 +554,11 @@ class MultiStreamer:
         # every queued piece this tick is int16, else fp32 with int16 pieces
         # widened on host — one program variant per dtype, both warmed
         pieces = [p for _, st in work for p in st.pending]
-        use_i16 = bool(pieces) and all(p.dtype == np.int16 for p in pieces)
+        # an EMPTY upload's dtype is semantically irrelevant (zeros widen to
+        # zeros) but picks the program variant — an s16-only deployment must
+        # ride its warmed int16 signatures on idle/flush ticks too
+        use_i16 = (all(p.dtype == np.int16 for p in pieces) if pieces
+                   else self._empty_i16)
         if not use_i16:
             for _, st in work:
                 st.pending = [
@@ -755,12 +775,22 @@ class MultiStreamer:
 
     # -- warmup --------------------------------------------------------------
 
-    def warmup(self, warm_fallback: bool = True, parallel: int = 1) -> int:
+    def warmup(self, warm_fallback: bool = True, parallel: int = 1,
+               push_dtypes: tuple | None = None) -> int:
         """Pre-compile AND pre-execute every program a deployment can touch:
-        the tick program at each active-session bucket (× both push dtypes
-        × each reachable decode bucket, plus the ring-only intake tick),
-        plus the decode program at each window bucket for the two-dispatch
-        family. Returns the number of executables warmed.
+        the tick program at each active-session bucket (× each warmed push
+        dtype × each reachable decode bucket, plus the ring-only intake
+        tick), plus the decode program at each window bucket for the
+        two-dispatch family. Returns the number of executables warmed.
+
+        push_dtypes: which upload-dtype program variants to warm — "f32"
+        (float32 pushes) and/or "s16" (raw int16 PCM pushes); None uses
+        the constructor's push_formats. A deployment that accepts one
+        format (server --audio_format) halves the fused family (e.g.
+        ~50 → ~28 programs at max_sessions=40 — the dominant cold-start
+        cost, docs/SERVING.md). A push in an unwarmed dtype still works:
+        its first tick compiles lazily and the watchdog exempts a
+        signature's first use.
 
         warm_fallback (fused mode only): also warm the two-dispatch family
         the stall watchdog falls back to, so a mid-session flip costs one
@@ -792,16 +822,27 @@ class MultiStreamer:
         the drain would hold ~GBs of HBM at large max_sessions); the drain
         pass then forces the gathers — executions on one device retire in
         dispatch order, so the whole backlog lands before warmup returns."""
+        if push_dtypes is None:
+            push_dtypes = self.push_formats
+        bad = set(push_dtypes) - {"f32", "s16"}
+        if bad or not push_dtypes:
+            raise ValueError(
+                f"push_dtypes={push_dtypes!r}: must be a non-empty subset "
+                f"of ('f32', 's16')")
         rng = np.random.default_rng(0)
         kcap = self._kcap
         cfg = self.cfg
         thunks = []   # each dispatches one program, returns a scalar gather
         k = 1
         while True:
-            # both upload-dtype variants: fp32 pushes and raw-int16 pushes
+            # the requested upload-dtype variants: fp32 and/or raw-int16
             noise = rng.standard_normal((k, self.push_capacity))
-            for new in (np.asarray(noise * 0.1, np.float32),
-                        np.asarray(noise * 3000, np.int16)):
+            variants = []
+            if "f32" in push_dtypes:
+                variants.append(np.asarray(noise * 0.1, np.float32))
+            if "s16" in push_dtypes:
+                variants.append(np.asarray(noise * 3000, np.int16))
+            for new in variants:
                 if self.fused:
                     # decode-bucket ladder this k bucket can hit live:
                     # D = bucket(ready rows) ≤ bucket(min(cap, k))

@@ -47,11 +47,20 @@ MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 
 def make_handler(params, cfg: Config, *, max_sessions: int = 8,
-                 fused_ticks: bool = True, push_seconds: float | None = None):
+                 fused_ticks: bool = True, push_seconds: float | None = None,
+                 audio_format: str = "both"):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
         generate_facial_data_from_bytes)
+
+    if audio_format not in ("both", "f32", "s16"):
+        raise ValueError(
+            f"audio_format={audio_format!r}: must be 'both', 'f32' or 's16'")
+    #: formats this deployment accepts — a single-format server warms half
+    #: the fused program family (the dominant cold-start cost) and rejects
+    #: the other format with 415 instead of lazily compiling its programs
+    accepted = ("f32", "s16") if audio_format == "both" else (audio_format,)
 
     state = {"ms": None}
 
@@ -62,14 +71,17 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
             state["ms"] = MultiStreamer(params, cfg,
                                         max_sessions=max_sessions,
                                         fused_decode=fused_ticks,
-                                        push_seconds=push_seconds)
+                                        push_seconds=push_seconds,
+                                        push_formats=accepted)
         return state["ms"]
 
     class Handler(BaseHTTPRequestHandler):
         @staticmethod
         def warmup() -> int:
             """Pre-compile the live-session tick/decode programs (see
-            serve()/warmup_handler — called at deployment startup)."""
+            serve()/warmup_handler — called at deployment startup). Only
+            the accepted audio format(s) are warmed (the streamer's
+            push_formats — set from --audio_format)."""
             return get_streamer().warmup()
 
         def _send(self, code: int, payload: dict) -> None:
@@ -165,7 +177,14 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
                 body = self._read_body()
                 if body is None:
                     return
-                if self.headers.get("X-Audio-Format", "f32") == "s16":
+                fmt = self.headers.get("X-Audio-Format", "f32")
+                if fmt not in accepted:
+                    self._send(415, {
+                        "error": f"audio format {fmt!r} not accepted by "
+                                 f"this server (accepts: {accepted}); its "
+                                 f"tick programs are not warmed"})
+                    return
+                if fmt == "s16":
                     # kept as int16 end-to-end: MultiStreamer uploads raw
                     # PCM (half the bytes) and widens /32768 on device
                     samples = np.frombuffer(body, "<i2")
@@ -199,11 +218,13 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
 
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
           *, server_class=HTTPServer, max_sessions: int = 8,
-          fused_ticks: bool = True, push_seconds: float | None = None):
+          fused_ticks: bool = True, push_seconds: float | None = None,
+          audio_format: str = "both"):
     httpd = server_class((host, port),
                          make_handler(params, cfg, max_sessions=max_sessions,
                                       fused_ticks=fused_ticks,
-                                      push_seconds=push_seconds))
+                                      push_seconds=push_seconds,
+                                      audio_format=audio_format))
     return httpd
 
 
@@ -238,6 +259,13 @@ def main(argv=None):
                         "download + separate batched decode (multiple "
                         "windows per session per tick — better for "
                         "offline catch-up-heavy feeds)")
+    parser.add_argument("--audio_format", default="both",
+                        choices=("both", "f32", "s16"),
+                        help="push format(s) this deployment accepts "
+                        "(X-Audio-Format header). A single format halves "
+                        "the warmed fused program family — the dominant "
+                        "cold-start cost at large --max_sessions; the "
+                        "other format is then rejected with 415")
     parser.add_argument("--push_capacity_s", type=float, default=None,
                         help="per-tick intake capacity in seconds of audio "
                         "per session (default ≈1.5). The tick uploads a "
@@ -263,7 +291,8 @@ def main(argv=None):
     httpd = serve(params, cfg, args.host, args.port,
                   max_sessions=args.max_sessions,
                   fused_ticks=not args.two_dispatch_ticks,
-                  push_seconds=args.push_capacity_s)
+                  push_seconds=args.push_capacity_s,
+                  audio_format=args.audio_format)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)

@@ -497,6 +497,46 @@ def test_tick_program_cache_bounded_and_warmup_covers_it(setup, fused):
     assert _decode_fn(cfg)._cache_size() == decode_after_warm
 
 
+def test_single_format_deployment_warms_half_and_never_compiles_live(setup):
+    """An s16-only deployment (server --audio_format s16 → constructor
+    push_formats) warms exactly the int16 half of the fused family — the
+    dominant cold-start cost — and its live traffic INCLUDING idle/flush
+    ticks (whose empty upload buffer must also pick the int16 variant)
+    stays inside the warmed program set. Bad format sets are rejected."""
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
+
+    cfg, params = setup
+    ms_both = _multi(params, cfg, max_sessions=4)
+    n_both = ms_both.warmup(warm_fallback=False)
+    seen_both = set(ms_both._fused_seen)
+
+    ms = _multi(params, cfg, max_sessions=4, push_formats=("s16",))
+    n_s16 = ms.warmup(warm_fallback=False)
+    assert n_s16 == n_both // 2
+    # the warmed signatures are exactly the int16 half of the full set
+    assert set(ms._fused_seen) == {s for s in seen_both if s[1] == "<i2"}
+
+    # live int16 traffic — pushes, idle ticks (no queued audio), flush —
+    # stays inside the warmed program set
+    after_warm = M._tick_fused._cache_size()
+    sid = ms.open()
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        if i % 3 != 2:  # two pushes, then one idle tick
+            pcm = (rng.standard_normal(cfg.sr // 2) * 8000).astype(np.int16)
+            ms.push_audio(sid, pcm)
+        ms.tick()
+    ms.flush(sid)
+    assert ms.pop_frames(sid).shape[1] == cfg.output_dim
+    assert M._tick_fused._cache_size() == after_warm
+
+    for bad in ((), ("f32", "int16"), ("i2",)):
+        with pytest.raises(ValueError, match="push_formats"):
+            _multi(params, cfg, max_sessions=4, push_formats=bad)
+        with pytest.raises(ValueError, match="push_dtypes"):
+            ms.warmup(push_dtypes=bad)
+
+
 def test_warmup_covers_the_watchdog_fallback_family(setup):
     """Fused warmup() warms the two-dispatch family too by default, so a
     stall-watchdog flip mid-session compiles nothing new; warm_fallback=

@@ -229,3 +229,42 @@ def test_live_session_endpoints(cfg_params):
         assert m["live_sessions"] == 0  # both sessions closed
     finally:
         httpd.shutdown()
+
+
+def test_single_format_server_rejects_other_format(cfg_params):
+    """--audio_format s16 servers warm only the int16 program family, so a
+    float32 push must be rejected with 415 (not lazily compiled), while
+    s16 traffic works end-to-end."""
+    cfg, params = cfg_params
+    httpd = serve(params, cfg, port=0, max_sessions=2, audio_format="s16")
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, data=b"", headers=None):
+        req = urllib.request.Request(base + path, data=data, method="POST",
+                                     headers=headers or {})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.load(r)
+
+    try:
+        sid = post("/session/open")["session"]
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(cfg.sr) * 8000).astype("<i2")
+        r = post(f"/session/{sid}/audio", pcm.tobytes(),
+                 {"X-Audio-Format": "s16"})
+        assert r["n"] >= 0
+
+        # f32 (the default header) → 415, session unaffected
+        try:
+            post(f"/session/{sid}/audio",
+                 np.zeros(100, "<f4").tobytes())
+            code = None
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 415
+
+        post(f"/session/{sid}/flush")
+        assert post(f"/session/{sid}/close") == {"ok": True}
+    finally:
+        httpd.shutdown()
