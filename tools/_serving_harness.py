@@ -20,7 +20,8 @@ _UNSET = object()
 def build_streamer(*, max_sessions: int, fused: bool,
                    stall_watchdog_s=_UNSET, dropout: float = 0.0,
                    warm_fallback=_UNSET, verbose: bool = True,
-                   decode_bucket_cap=_UNSET, push_seconds=_UNSET):
+                   decode_bucket_cap=_UNSET, push_seconds=_UNSET,
+                   push_formats=_UNSET):
     """Persistent cache on → Config → random params → MultiStreamer →
     forced warmup. Returns (ms, cfg, n_warmed_programs).
 
@@ -48,6 +49,8 @@ def build_streamer(*, max_sessions: int, fused: bool,
         kw["decode_bucket_cap"] = decode_bucket_cap
     if push_seconds is not _UNSET:
         kw["push_seconds"] = push_seconds
+    if push_formats is not _UNSET:
+        kw["push_formats"] = push_formats
     ms = MultiStreamer(params, cfg, max_sessions=max_sessions,
                        fused_decode=fused, **kw)
     t0 = time.perf_counter()
