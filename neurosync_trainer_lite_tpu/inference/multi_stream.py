@@ -95,6 +95,18 @@ def session_bucket(n: int) -> int:
         b *= 2
 
 
+def _validate_formats(name: str, formats) -> tuple:
+    """Shared validation for the constructor's push_formats and warmup's
+    push_dtypes — one copy so the accepted-format set can't silently
+    diverge between the two sites."""
+    bad = set(formats) - {"f32", "s16"}
+    if bad or not formats:
+        raise ValueError(
+            f"{name}={formats!r}: must be a non-empty subset "
+            f"of ('f32', 's16')")
+    return tuple(formats)
+
+
 def _ring_update(b, nw, sh, bl, nl):
     """Shared per-row ring update for every tick variant: trim-shift, clear
     rolled-in garbage, widen int16 pushes, clamp-free roll-append.
@@ -264,12 +276,7 @@ class MultiStreamer:
         #: kind — they must ride a warmed signature too). Pushing an
         #: unlisted format still works: its first tick compiles lazily and
         #: the watchdog exempts a signature's first use.
-        bad = set(push_formats) - {"f32", "s16"}
-        if bad or not push_formats:
-            raise ValueError(
-                f"push_formats={push_formats!r}: must be a non-empty "
-                f"subset of ('f32', 's16')")
-        self.push_formats = tuple(push_formats)
+        self.push_formats = _validate_formats("push_formats", push_formats)
         self._empty_i16 = "f32" not in self.push_formats
         #: stall watchdog: if a fused tick exceeds this wall-time budget,
         #: the streamer logs loudly and switches itself to the two-dispatch
@@ -373,14 +380,19 @@ class MultiStreamer:
             raise ValueError(
                 f"decode_bucket_cap={decode_bucket_cap!r}: the only string "
                 f"value is 'auto' (or pass an int >= 1, or None for no cap)")
-        elif decode_bucket_cap is not None and decode_bucket_cap < 1:
+        elif decode_bucket_cap is not None and (
+                not isinstance(decode_bucket_cap, int)
+                or isinstance(decode_bucket_cap, bool)
+                or decode_bucket_cap < 1):
             # 0 would mean "no cap" via the `or k` fallback at tick time
-            # (the opposite of what it reads as) and a negative cap slices
-            # dec_entries from the wrong end, deferring a ready window
-            # forever — fail here instead
+            # (the opposite of what it reads as), a negative cap slices
+            # dec_entries from the wrong end (deferring a ready window
+            # forever), and a float (e.g. max_sessions/3 unrounded) raises
+            # TypeError inside the tick, which the retry path misreads as
+            # a device fault — fail here instead
             raise ValueError(
-                f"decode_bucket_cap={decode_bucket_cap} must be >= 1, None "
-                f"(no cap), or 'auto'")
+                f"decode_bucket_cap={decode_bucket_cap!r} must be an int "
+                f">= 1, None (no cap), or 'auto'")
         self.decode_bucket_cap = decode_bucket_cap
 
         # rows the device feature array actually has: the bucket's 120 fps
@@ -824,15 +836,20 @@ class MultiStreamer:
         dispatch order, so the whole backlog lands before warmup returns."""
         if push_dtypes is None:
             push_dtypes = self.push_formats
-        bad = set(push_dtypes) - {"f32", "s16"}
-        if bad or not push_dtypes:
-            raise ValueError(
-                f"push_dtypes={push_dtypes!r}: must be a non-empty subset "
-                f"of ('f32', 's16')")
+        push_dtypes = _validate_formats("push_dtypes", push_dtypes)
         rng = np.random.default_rng(0)
         kcap = self._kcap
         cfg = self.cfg
         thunks = []   # each dispatches one program, returns a scalar gather
+        #: fused signatures this warmup covers — committed to _fused_seen
+        #: only AFTER the drain pass proves every program actually executed.
+        #: Marking at thunk-build time would, on a warmup that dies partway
+        #: (a tunnel flap) with a caller that catches and serves anyway,
+        #: flag still-cold signatures as warmed — their first live tick then
+        #: pays the 20-50 s cold compile WITH the watchdog armed, and the
+        #: compile is misread as a stall (a permanent fused→two-dispatch
+        #: flip: exactly what the first-use exemption exists to prevent).
+        warmed_sigs = []
         k = 1
         while True:
             # the requested upload-dtype variants: fp32 and/or raw-int16
@@ -867,7 +884,7 @@ class MultiStreamer:
                         thunks.append(_warm_fused)
                         # warmed signatures get full watchdog protection
                         # from their very first live tick
-                        self._fused_seen.add((k, new.dtype.str, dl))
+                        warmed_sigs.append((k, new.dtype.str, dl))
                         if dl >= dmax:
                             break
                         dl = session_bucket(dl + 1)
@@ -882,7 +899,7 @@ class MultiStreamer:
                         return rb[0, 0]
 
                     thunks.append(_warm_ring)
-                    self._fused_seen.add((k, new.dtype.str, 0))
+                    warmed_sigs.append((k, new.dtype.str, 0))
                 if not self.fused or warm_fallback:
                     def _warm_tick(k=k, new=new):
                         _, wins = _tick_program(
@@ -933,4 +950,6 @@ class MultiStreamer:
             pending = [g for g in (f() for f in thunks) if g is not None]
         for g in pending:
             float(g)  # force the deferred execution chain behind it
+        # every thunk demonstrably executed — NOW the signatures are warm
+        self._fused_seen.update(warmed_sigs)
         return len(thunks)

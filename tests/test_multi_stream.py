@@ -161,7 +161,10 @@ def test_invalid_decode_cap_and_push_seconds_rejected(setup):
     forever), a non-'auto' string would TypeError at tick time, and a
     non-positive push_seconds degrades intake to 1 sample/tick."""
     cfg, params = setup
-    for bad in (0, -1, "Auto", "none"):
+    # 2.5 (e.g. max_sessions/3 unrounded) would TypeError inside the tick,
+    # which the retry path misreads as a device fault; True is an int
+    # subclass that reads as cap=1 by accident
+    for bad in (0, -1, 2.5, True, "Auto", "none"):
         with pytest.raises(ValueError, match="decode_bucket_cap"):
             MultiStreamer(params, cfg, max_sessions=4,
                           decode_bucket_cap=bad)
@@ -535,6 +538,38 @@ def test_single_format_deployment_warms_half_and_never_compiles_live(setup):
             _multi(params, cfg, max_sessions=4, push_formats=bad)
         with pytest.raises(ValueError, match="push_dtypes"):
             ms.warmup(push_dtypes=bad)
+
+
+def test_failed_warmup_does_not_mark_signatures_warm(setup):
+    """A warmup that dies partway (tunnel flap) must leave _fused_seen
+    unchanged: signatures marked warm before their program actually
+    executed would lose the watchdog's first-use cold-compile exemption —
+    a live cold compile would then be misread as a stall and permanently
+    flip the streamer to the two-dispatch family."""
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
+
+    cfg, params = setup
+    ms = _multi(params, cfg, max_sessions=4)
+    real = M._tick_ring_only
+    calls = {"n": 0}
+
+    def dies_on_second(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected tunnel flap")
+        return real(*a, **kw)
+
+    M._tick_ring_only = dies_on_second
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ms.warmup(warm_fallback=False)
+    finally:
+        M._tick_ring_only = real
+    assert ms._fused_seen == set()
+
+    # a subsequent successful warmup marks the full family
+    n = ms.warmup(warm_fallback=False)
+    assert len(ms._fused_seen) == n
 
 
 def test_warmup_covers_the_watchdog_fallback_family(setup):
