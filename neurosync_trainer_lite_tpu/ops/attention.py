@@ -307,7 +307,8 @@ def multi_head_attention(
     drop_active = train and dropout_rate > 0.0 and rng_attn is not None
     Tk = k.shape[1]
     if (impl == "pallas" and not drop_active and use_rope
-            and Tk <= fua.MAX_KV_LEN and h % 2 == 0):
+            and fua.fits_vmem(Tq, Tk, q.shape[-1], q.dtype.itemsize)
+            and h % 2 == 0):
         # Fully-fused core: RoPE + per-head scores/softmax/·v in one Pallas
         # kernel on unsplit [B, T, H] (no head-split relayouts, no [T, T]
         # HBM traffic). Opt-in only: measured 70.2 vs 63.2 ms fwd against

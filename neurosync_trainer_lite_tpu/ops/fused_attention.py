@@ -128,11 +128,36 @@ def _row_spec(T, H, rows=1):
                         memory_space=pltpu.VMEM)
 
 
-def _rows_per_cell(B):
+#: conservative per-cell VMEM working-set cap. TPU cores have ~16-32 MB of
+#: VMEM; leave headroom for Mosaic's own buffers and double-buffering.
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _cell_bytes(Tq, Tk, H, rows, itemsize=2):
+    """Upper-bound VMEM bytes for one BACKWARD grid cell (the bigger of the
+    two kernels): 6 fp32 RoPE tables, rows× q/k/v/do input strips, rows×
+    dq/dk/dv outputs, and two fp32 [Tq, H] scratch accumulators."""
+    tables = 4 * 3 * (Tq + Tk) * H
+    strips = rows * itemsize * (2 * Tq * H + 2 * Tk * H)   # q, do + k, v
+    outs = rows * itemsize * (Tq * H + 2 * Tk * H)         # dq + dk, dv
+    scratch = 2 * 4 * Tq * H
+    return tables + strips + outs + scratch
+
+
+def fits_vmem(Tq, Tk, H, itemsize=2) -> bool:
+    """Gate for the caller: can the kernel compile at all (rows=1)? A
+    length/width the old Tk-only bound admitted (e.g. Tk=2048 at H=512:
+    24 MB of tables alone) fails Mosaic VMEM allocation at compile time —
+    reject it here and take the XLA path instead."""
+    return _cell_bytes(Tq, Tk, H, 1, itemsize) <= VMEM_BUDGET
+
+
+def _rows_per_cell(B, Tq, Tk, H, itemsize=2):
     """Batch rows per grid cell: more per-cell work pipelines the small
-    per-head MXU ops better; bounded by VMEM (4 rows ≈ 8 MB of strips)."""
+    per-head MXU ops better, bounded by the cell's VMEM working set (at the
+    flagship T=128/H=1024 geometry, 4 rows ≈ 8 MB of strips)."""
     for r in (4, 2, 1):
-        if B % r == 0:
+        if B % r == 0 and _cell_bytes(Tq, Tk, H, r, itemsize) <= VMEM_BUDGET:
             return r
     return 1
 
@@ -140,7 +165,7 @@ def _rows_per_cell(B):
 def _fwd_call(q, k, v, tables, num_heads, scale, rope):
     B, Tq, H = q.shape
     Tk = k.shape[1]
-    rows = _rows_per_cell(B)
+    rows = _rows_per_cell(B, Tq, Tk, H, q.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
                           rope=rope),
@@ -198,7 +223,10 @@ def _vjp_bwd(num_heads, scale, rope, res, do):
 fused_rope_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-MAX_KV_LEN = 2048  # full K/V strip must fit VMEM
+#: legacy Tk-only bound, superseded by fits_vmem (which also accounts for
+#: the hidden width H — at H=512+ the RoPE tables alone blow VMEM well
+#: before Tk reaches this). Kept for external callers.
+MAX_KV_LEN = 2048
 
 
 def make_tables(Tq: int, Tk: int, head_dim: int, num_heads: int):

@@ -65,15 +65,28 @@ def wait_for_pending_saves() -> None:
     crash mid-async-save leaves a checkpoint directory without meta —
     recognizably incomplete, same as a crash mid-sync-save — instead of a
     valid-looking meta over a half-written state."""
-    if _async_ckptr is not None:
-        _async_ckptr.wait_until_finished()
-    for t in _export_threads:
-        t.join()
-    _export_threads.clear()
-    for path, meta in _pending_meta:
-        _write_meta(path, meta)
-    _pending_meta.clear()
-    failed = bool(_export_errors)
+    # the local completion work can itself raise (Orbax write error, disk
+    # full during the meta write) — capture it so the failure still reaches
+    # the cross-process fence below; letting it escape early would strand
+    # the OTHER processes (whose saves succeeded) at the next collective
+    # barrier forever, the exact wedge the fence exists to prevent
+    local_exc: BaseException | None = None
+    try:
+        if _async_ckptr is not None:
+            _async_ckptr.wait_until_finished()
+        for t in _export_threads:
+            t.join()
+        _export_threads.clear()
+        for path, meta in _pending_meta:
+            _write_meta(path, meta)
+        _pending_meta.clear()
+    except BaseException as e:
+        local_exc = e
+        # do NOT write (or retry) the deferred metas for saves that may not
+        # have completed — a meta-less dir stays recognizably incomplete and
+        # resume falls back to the newest good backup
+        _pending_meta.clear()
+    failed = bool(_export_errors) or local_exc is not None
     if jax.process_count() > 1:
         # propagate the failure flag to EVERY process before raising:
         # exports run on process 0 only, and a lone process-0 raise would
@@ -88,9 +101,9 @@ def wait_for_pending_saves() -> None:
         # a failed model.pth export (disk full, serialization error) must not
         # pass silently — the per-epoch export would otherwise go stale with
         # only a stderr excepthook trace as evidence (ADVICE r2)
-        err = _export_errors[0] if _export_errors else None
+        err = local_exc or (_export_errors[0] if _export_errors else None)
         _export_errors.clear()
-        raise RuntimeError("async model.pth export failed"
+        raise RuntimeError("async checkpoint save or model.pth export failed"
                            + ("" if err is not None else
                               " on another process")) from err
 
@@ -266,7 +279,11 @@ def save_final_model(params, cfg: Config, final_model_path: str | None = None,
         t.start()
         _export_threads.append(t)
         return
-    save_torch_model(params, cfg, path)
+    # same tmp + atomic-replace discipline as the async path: a crash or
+    # ENOSPC mid-torch.save must not truncate the previous good export
+    tmp = path + ".tmp"
+    save_torch_model(params, cfg, tmp)
+    os.replace(tmp, path)
     print(f"Final model saved to {path}")
 
 

@@ -67,7 +67,9 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
     dict extended with 'train_losses'/'val_losses'/'grad_norms' lists
     (consumed by tools/race_reference.py and tests)."""
     sharding = batch_sharding(mesh) if mesh is not None else None
-    base_key = jax.random.key(cfg.seed + 1, impl=cfg.prng_impl)
+    # accept the documented shorthand: jax only knows 'threefry2x32'
+    impl = "threefry2x32" if cfg.prng_impl == "threefry" else cfg.prng_impl
+    base_key = jax.random.key(cfg.seed + 1, impl=impl)
 
     train_losses, train_steps = [], []
     val_losses, val_steps = [], []
@@ -147,10 +149,17 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
                       f"Train Loss: {float(loss):.4f} | "
                       f"Grad Norm: {float(grad_norm):.4f}")
 
-    # one host sync for the whole epoch's metrics
-    train_losses = [float(x) for x in train_losses]
-    val_losses = [float(x) for x in val_losses]
-    gradient_norms = [float(x) for x in gradient_norms]
+    # one host sync for the whole epoch's metrics: jax.device_get issues
+    # the host copies for EVERY scalar asynchronously before blocking, so
+    # the transfers overlap into ~one round-trip — per-scalar float() would
+    # cost one serial device round-trip per train step, which on a
+    # high-latency link (the tunnel rig) turns epoch end into minutes
+    def _fetch(xs):
+        return [float(v) for v in jax.device_get(xs)] if xs else []
+
+    train_losses = _fetch(train_losses)
+    val_losses = _fetch(val_losses)
+    gradient_norms = _fetch(gradient_norms)
 
     epoch_time = time.time() - start_time
     mean_loss = float(np.mean(train_losses)) if train_losses else float("nan")
@@ -349,6 +358,15 @@ def train_model(cfg: Config, clips=None, *, mesh=None, verbose=True,
             f"usable clips (each capture folder needs a facial CSV plus "
             f"audio/video or a cached audio_features.csv, and clips must be "
             f"≥{cfg.micro_batch_size} frames long)")
+    if len(train_view) < cfg.batch_size:
+        # drop_last batching would yield ZERO steps per epoch: training
+        # would silently do nothing, report a NaN loss, and still export a
+        # random-weights model.pth — fail loudly instead
+        raise RuntimeError(
+            f"batch_size={cfg.batch_size} exceeds the {len(train_view)} "
+            f"training windows the dataset yields; every epoch would run "
+            f"zero optimizer steps. Lower --batch_size (≤{len(train_view)}) "
+            f"or add data.")
     steps_per_epoch = max(1, len(train_view) // cfg.batch_size)
 
     if mesh is None and (cfg.tp > 1 or cfg.dp > 1 or

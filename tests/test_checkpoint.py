@@ -242,3 +242,49 @@ def test_async_meta_written_only_after_state_lands(tmp_path):
     assert os.path.exists(os.path.join(path, "meta.json"))
     epoch, _, _ = load_checkpoint(path, CFG, steps_per_epoch=10)
     assert epoch == 1
+
+
+def test_orbax_wait_failure_raises_collectively_and_drops_pending_meta(
+        tmp_path, monkeypatch):
+    """An exception from the async checkpointer's wait (Orbax write error)
+    must surface as the fenced RuntimeError — not escape raw before the
+    cross-process failure allgather — and the deferred meta sidecars for
+    the possibly-incomplete saves must be DROPPED, keeping the invariant
+    that meta.json present implies state/ is complete."""
+    from neurosync_trainer_lite_tpu.training import checkpoint as C
+
+    class _DyingCkptr:
+        def wait_until_finished(self):
+            raise OSError("orbax write failed")
+
+    ckpt_dir = tmp_path / "ckpt"
+    os.makedirs(ckpt_dir)
+    monkeypatch.setattr(C, "_async_ckptr", _DyingCkptr())
+    C._pending_meta.append((str(ckpt_dir), {"epoch": 0}))
+    try:
+        with pytest.raises(RuntimeError, match="failed"):
+            C.wait_for_pending_saves()
+    finally:
+        C._pending_meta.clear()
+    assert not os.path.exists(ckpt_dir / "meta.json")
+
+
+def test_sync_final_model_save_is_atomic(tmp_path, monkeypatch):
+    """The synchronous model.pth export (the guaranteed-good final write at
+    the end of train_model) must not truncate the previous good export if
+    torch.save dies midway — it writes to a tmp file and os.replace()s."""
+    from neurosync_trainer_lite_tpu.utils import torch_interop
+
+    path = tmp_path / "model.pth"
+    path.write_bytes(b"previous good export")
+
+    def dies_midway(params, cfg, out_path):
+        with open(out_path, "wb") as f:
+            f.write(b"half a st")
+        raise OSError("disk full")
+
+    monkeypatch.setattr(torch_interop, "save_torch_model", dies_midway)
+    state, _ = init_train_state(CFG, steps_per_epoch=10)
+    with pytest.raises(OSError, match="disk full"):
+        save_final_model(state.params, CFG, str(path))
+    assert path.read_bytes() == b"previous good export"

@@ -98,3 +98,26 @@ def test_zero_clips_fails_loudly(workspace, tmp_path):
     cfg = make_cfg(workspace, root_dir=str(empty))
     with pytest.raises(RuntimeError, match="zero usable clips"):
         train_model(cfg, verbose=False)
+
+
+def test_batch_larger_than_dataset_fails_loudly(workspace):
+    """0 < windows < batch_size with drop_last batching would run ZERO
+    optimizer steps per epoch, print a NaN loss, and still export a
+    random-weights model.pth — train_model must reject it up front."""
+    cfg = make_cfg(workspace, batch_size=100_000)
+    with pytest.raises(RuntimeError, match="zero optimizer steps"):
+        train_model(cfg, verbose=False)
+
+
+def test_prng_impl_threefry_shorthand_accepted(workspace, tmp_path):
+    """config.py documents prng_impl='threefry' for cross-platform
+    reproducibility but jax.random.key only knows 'threefry2x32' — the
+    loop must accept the documented shorthand instead of crashing at the
+    first epoch."""
+    cfg = make_cfg(
+        workspace, n_epochs=1, prng_impl="threefry", dropout=0.1,
+        model_path=str(tmp_path / "m.pth"),
+        checkpoint_path=str(tmp_path / "ckpt" / "checkpoint"),
+        plots_dir=str(tmp_path / "plots"))
+    state, batch_step = train_model(cfg, verbose=False)
+    assert batch_step > 0

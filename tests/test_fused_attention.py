@@ -96,3 +96,18 @@ def test_mha_pallas_impl_matches_xla(rng):
     out_xla = multi_head_attention(params, x, x, x, num_heads=n, impl="xla")
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fits_vmem_gate_accounts_for_width():
+    """The old Tk-only bound admitted shapes whose RoPE tables alone blow
+    VMEM (Tk=2048 at H=512 is 24 MB of tables) — the gate must weigh the
+    full per-cell working set, while keeping the flagship geometry
+    (T=128, H=1024) and long-but-narrow shapes eligible."""
+    from neurosync_trainer_lite_tpu.ops.fused_attention import (
+        MAX_KV_LEN, fits_vmem)
+
+    assert fits_vmem(128, 128, 1024)          # flagship: ~3 MB working set
+    assert fits_vmem(2048, 2048, 64)          # long but narrow fits
+    assert not fits_vmem(2048, 2048, 512)     # old gate admitted this
+    assert not fits_vmem(4096, 4096, 1024)
+    assert 2048 <= MAX_KV_LEN                 # legacy constant still sane
