@@ -45,7 +45,22 @@ def extract_audio_features(audio_input, sr: int = 88200, from_bytes: bool = Fals
     from neurosync_trainer_lite_tpu.utils.audio_io import load_audio_from_bytes
 
     if isinstance(audio_input, np.ndarray):
-        y = np.asarray(audio_input, np.float32).reshape(-1)
+        y = np.asarray(audio_input).reshape(-1)
+        if np.issubdtype(y.dtype, np.integer):
+            # widen by the dtype's full scale + peak-normalize, matching the
+            # loaders' semantics — a silent float32 cast would feed
+            # raw-amplitude PCM (e.g. ±32767) into the frontend (ADVICE r2).
+            # int16 keeps its raw-upload device fast path (widened +
+            # normalized on device, bitwise-identical).
+            if y.dtype != np.int16:
+                from neurosync_trainer_lite_tpu.ops.frontend import widen_int_pcm
+
+                y = widen_int_pcm(y)
+                peak = np.max(np.abs(y)) if y.size else 0.0
+                if peak > 0:
+                    y = y / peak
+        else:
+            y = np.asarray(y, np.float32)
     elif from_bytes:
         y, sr = load_audio_from_bytes(audio_input, sr)
     else:
@@ -61,6 +76,11 @@ def extract_audio_features(audio_input, sr: int = 88200, from_bytes: bool = Fals
             print(f"device frontend failed ({e}); falling back to host")
     from neurosync_trainer_lite_tpu.ops.frontend_np import extract_audio_features_np
 
+    if y.dtype == np.int16:  # host twin wants float: widen + peak-normalize
+        y = y.astype(np.float32) / 32768.0
+        peak = np.max(np.abs(y)) if y.size else 0.0
+        if peak > 0:
+            y = y / peak
     return extract_audio_features_np(y, sr)
 
 

@@ -182,23 +182,42 @@ def prefetch(iterator, put=None, depth: int = 2):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()  # set when the consumer abandons the generator
+
+    def _offer(item) -> bool:
+        # bounded-queue put that gives up once the consumer is gone —
+        # a plain q.put would block forever when an epoch aborts mid-way
+        # (step raised / Ctrl-C), pinning the thread plus up to `depth`
+        # assembled (possibly device-resident) batches for process lifetime
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(tuple(put(x) for x in item) if put is not None else item)
-            q.put(sentinel)
+                if not _offer(tuple(put(x) for x in item)
+                              if put is not None else item):
+                    return
+            _offer(sentinel)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            _offer(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def prepare_datasets(cfg: Config, clips=None):

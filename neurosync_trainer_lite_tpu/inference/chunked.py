@@ -59,8 +59,9 @@ def zero_columns(data: np.ndarray) -> np.ndarray:
     """Zero the known-noise Lite dims on a copy (reference:
     audio_processing.py:114-121, unused research helper — kept for surface
     parity)."""
-    columns_to_zero = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
-                       51, 52, 53, 54, 55, 56, 57, 58, 59, 60]
+    from neurosync_trainer_lite_tpu.data.processing import SPECIFIED_COLUMNS
+
+    columns_to_zero = list(SPECIFIED_COLUMNS)  # one source of truth
     modified = np.copy(data)
     modified[:, columns_to_zero] = 0
     return modified
@@ -101,7 +102,9 @@ def decode_chunks_batched(params, chunks: np.ndarray, cfg: Config) -> np.ndarray
         chunks = np.concatenate(
             [chunks, np.zeros((bucket - n, *chunks.shape[1:]), chunks.dtype)])
     out = _decode_fn(cfg)(params, jnp.asarray(chunks))
-    return np.asarray(out[:n], dtype=np.float64)
+    # download the whole bucket, slice on host: slicing on device would
+    # compile + dispatch a tiny per-(bucket, n) program per new clip length
+    return np.asarray(out, dtype=np.float64)[:n]
 
 
 class MeshDecoder:
@@ -152,7 +155,7 @@ class MeshDecoder:
         placed = jax.device_put(jnp.asarray(chunks, jnp.float32),
                                 self._batch_sharding)
         out = self._decode(self._params, placed)
-        return np.asarray(out[:n], dtype=np.float64)
+        return np.asarray(out, dtype=np.float64)[:n]  # host-side slice
 
 
 def _chunk_starts(num_frames: int, frame_length: int, overlap: int):
@@ -192,8 +195,6 @@ def blend_decoded_chunks(decoded, lengths, remaining: int, overlap: int,
         outputs.append(decoded[-1][:remaining])
 
     final = np.concatenate(outputs, axis=0)[:num_frames]
-    if final.ndim == 3:
-        final = final.reshape(-1, final.shape[-1])
     final[:, :61] /= BLENDSHAPE_SCALE  # back to LiveLink space (reference: :102)
     return final
 

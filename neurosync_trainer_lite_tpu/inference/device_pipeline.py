@@ -148,7 +148,9 @@ def infer_waveform_device(y: np.ndarray, params, cfg: Config,
     decoded = _infer_bucketed(jnp.asarray(y_pad), jnp.int32(n),
                               jnp.asarray(rows), params, cfg.sr, cfg,
                               normalize)
-    decoded = np.asarray(decoded[:n_true], dtype=np.float64)
+    # download the whole bucket, slice on host — a device-side slice would
+    # compile + dispatch a tiny per-(bucket, n_true) program per clip length
+    decoded = np.asarray(decoded, dtype=np.float64)[:n_true]
 
     return blend_decoded_chunks(decoded, lengths, remaining, cfg.overlap,
                                 num_frames)

@@ -51,6 +51,38 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return y, sr
 
 
+def _decode_float_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """IEEE-float WAV (format tag 3) → (float32 mono, sample_rate).
+
+    The stdlib ``wave`` module raises ``unknown format: 3`` on float WAVs,
+    so this minimal RIFF chunk walk keeps the module's advertised
+    32/64-bit-float support true without requiring ffmpeg."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt = 12, None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        size = int.from_bytes(data[pos + 4: pos + 8], "little")
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data" and fmt is not None and len(fmt) >= 16:
+            tag = int.from_bytes(fmt[0:2], "little")
+            n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
+            rate = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if tag != 3 or bits not in (32, 64):
+                raise ValueError(f"not an IEEE-float WAV (tag {tag}, {bits}-bit)")
+            dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+            usable = len(body) // (dt.itemsize * n_ch) * (dt.itemsize * n_ch)
+            y = np.frombuffer(body[:usable], dtype=dt).astype(np.float32)
+            if n_ch > 1:
+                y = y.reshape(-1, n_ch).mean(axis=1)
+            return y, rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no fmt/data chunks found")
+
+
 def _decode_via_ffmpeg(data: bytes, sr: int, ffmpeg_path: str = "ffmpeg"
                        ) -> tuple[np.ndarray, int]:
     """Arbitrary container → mono float32 at sr via an ffmpeg pipe."""
@@ -83,7 +115,10 @@ def load_audio(source, sr: int = 88200, ffmpeg_path: str = "ffmpeg"
     try:
         y, native_sr = _decode_wav(data)
     except (wave.Error, EOFError):
-        return _decode_via_ffmpeg(data, sr, ffmpeg_path)
+        try:  # stdlib wave rejects IEEE-float WAVs (format 3)
+            y, native_sr = _decode_float_wav(data)
+        except ValueError:
+            return _decode_via_ffmpeg(data, sr, ffmpeg_path)
     return resample(y, native_sr, sr), sr
 
 

@@ -74,19 +74,29 @@ def parse_stats_file(path: str) -> tuple[dict, dict]:
 
 
 def load_stats_history(stats_dir: str):
-    """Directory → (epochs [N], overall {name: [N]}, per_dim {dim: {metric: [N]}})."""
+    """Directory → (epochs [N], overall {name: [N]}, per_dim {dim: {metric: [N]}}).
+
+    Every series is NaN-padded to exactly N entries so values stay aligned
+    with `epochs` — a metric or dimension absent from some file (e.g. an
+    older-format epoch) plots as a gap instead of left-shifting the series
+    onto the wrong epochs."""
     files = find_stats_files(stats_dir)
     epochs = [e for e, _ in files]
     overall_hist: dict = {}
     dim_hist: dict = {}
-    for _, path in files:
+    for i, (_, path) in enumerate(files):
         overall, per_dim = parse_stats_file(path)
         for name, value in overall.items():
-            overall_hist.setdefault(name, []).append(value)
+            overall_hist.setdefault(name, [np.nan] * i).append(value)
         for dim, stats in per_dim.items():
             d = dim_hist.setdefault(dim, {})
             for name, value in stats.items():
-                d.setdefault(name, []).append(value)
+                d.setdefault(name, [np.nan] * i).append(value)
+        for series in [overall_hist,
+                       *(d for d in dim_hist.values())]:
+            for vals in series.values():
+                if len(vals) < i + 1:
+                    vals.append(np.nan)
     return epochs, overall_hist, dim_hist
 
 
@@ -107,8 +117,8 @@ def plot_overall_stats(stats_dir: str, output_path: str | None = None) -> str:
                              figsize=(10, 3 * len(OVERALL_METRICS)), sharex=True)
     for ax, (short, full) in zip(np.atleast_1d(axes), OVERALL_METRICS.items()):
         values = overall_hist.get(full)
-        if values:
-            ax.plot(epochs[: len(values)], values, marker="o", markersize=3)
+        if values:  # NaN-aligned to epochs; NaNs render as gaps
+            ax.plot(epochs, values, marker="o", markersize=3)
         ax.set_ylabel(short)
         ax.grid(True, alpha=0.3)
     np.atleast_1d(axes)[-1].set_xlabel("epoch")
@@ -142,8 +152,8 @@ def plot_dimension_stats(stats_dir: str, metric: str = "MAE",
         if dimensions is not None and dim not in dimensions:
             continue
         values = stats.get(metric)
-        if values:
-            ax.plot(epochs[: len(values)], values, label=dim, linewidth=0.8)
+        if values:  # NaN-aligned to epochs; NaNs render as gaps
+            ax.plot(epochs, values, label=dim, linewidth=0.8)
     ax.set_xlabel("epoch")
     ax.set_ylabel(metric)
     ax.set_title(f"Per-dimension {metric} across epochs")

@@ -64,7 +64,10 @@ def save_comparison_stats(generated_data_path: str, ground_truth_path: str,
     ground_truth_data = pd.read_csv(ground_truth_path)
     n = len(DIMENSION_LABELS)
     generated = generated_data.iloc[:, 2: 2 + n].values.astype(np.float64)
-    ground_truth = ground_truth_data.iloc[:, 2:].values.astype(np.float64)
+    # same bounded slice for the ground truth: a capture CSV can carry the 7
+    # optional emotion columns after the 61 blendshapes (csv_io writes that
+    # 68-column layout too) — iloc[:, 2:] would then break the comparison
+    ground_truth = ground_truth_data.iloc[:, 2: 2 + n].values.astype(np.float64)
 
     overall, per_dimension = compute_comparison_stats(generated, ground_truth)
 

@@ -1,5 +1,6 @@
 """CLI flag parsing and the offline epoch-stats parser/plotters."""
 
+import io
 import os
 
 import numpy as np
@@ -172,3 +173,87 @@ def test_persistent_cache_helper(tmp_path, monkeypatch):
         assert enable_persistent_cache() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_float_wav_decodes_without_ffmpeg(tmp_path):
+    """IEEE-float (format 3) WAVs — which the stdlib wave module rejects —
+    must decode through the in-repo RIFF parser, not the ffmpeg fallback."""
+    import wave as wave_mod
+    from unittest import mock
+
+    import scipy.io.wavfile as wavfile
+
+    from neurosync_trainer_lite_tpu.utils import audio_io
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    y = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = os.path.join(str(tmp_path), "f32.wav")
+    wavfile.write(path, sr, y)  # float32 payload => format tag 3
+
+    with open(path, "rb") as f:
+        data = f.read()
+    with pytest.raises(wave_mod.Error):  # precondition: stdlib can't read it
+        wave_mod.open(io.BytesIO(data))
+
+    with mock.patch.object(audio_io, "_decode_via_ffmpeg",
+                           side_effect=AssertionError("ffmpeg used")):
+        out, out_sr = audio_io.load_audio(path, sr=sr)
+    assert out_sr == sr
+    np.testing.assert_allclose(out, y, atol=1e-7)
+
+    # stereo + 64-bit floats mix down / narrow correctly
+    y2 = np.stack([y, -y], axis=1).astype(np.float64)
+    path2 = os.path.join(str(tmp_path), "f64st.wav")
+    wavfile.write(path2, sr, y2)
+    with mock.patch.object(audio_io, "_decode_via_ffmpeg",
+                           side_effect=AssertionError("ffmpeg used")):
+        out2, _ = audio_io.load_audio(path2, sr=sr)
+    np.testing.assert_allclose(out2, np.zeros_like(y), atol=1e-7)
+
+
+def test_stats_tolerate_emotion_columns_in_ground_truth(tmp_path):
+    """A ground-truth CSV carrying the 7 optional emotion columns (the
+    68-column LiveLink layout csv_io can itself write) must still compare
+    against 61-dim generated data."""
+    from neurosync_trainer_lite_tpu.utils.csv_io import (
+        DIMENSION_LABELS, save_generated_data_as_csv)
+    from neurosync_trainer_lite_tpu.utils.stats import save_comparison_stats
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0, 1, (40, len(DIMENSION_LABELS) + 7))
+    gen = gt[:, :61] + 0.01 * rng.standard_normal((40, 61))
+    gt_path = os.path.join(str(tmp_path), "gt.csv")
+    gen_path = os.path.join(str(tmp_path), "gen.csv")
+    save_generated_data_as_csv(gt, gt_path, include_emotion_dimensions=True)
+    save_generated_data_as_csv(gen, gen_path)
+    stats_path = os.path.join(str(tmp_path), "comparison_stats_epoch_1.txt")
+    save_comparison_stats(gen_path, gt_path, stats_path)
+    assert os.path.exists(stats_path)
+    text = open(stats_path).read()
+    assert "Mean Absolute Error (MAE)" in text
+
+
+def test_epoch_stats_alignment_with_missing_metric(tmp_path):
+    """A metric absent from one epoch's file must leave a NaN gap at that
+    epoch, not left-shift the series onto the wrong epochs."""
+    tmp = str(tmp_path)
+    for epoch, scale in ((1, 0.3), (2, 0.2), (3, 0.1)):
+        _write_stats_epoch(tmp, epoch, scale)
+    # strip the correlation line from epoch 1's file
+    p1 = os.path.join(tmp, "comparison_stats_epoch_1.txt")
+    lines = [ln for ln in open(p1)
+             if not ln.startswith("Correlation Coefficient (r)")]
+    open(p1, "w").writelines(lines)
+
+    epochs, overall_hist, dim_hist = load_stats_history(tmp)
+    assert epochs == [1, 2, 3]
+    r = overall_hist["Correlation Coefficient (r)"]
+    assert len(r) == 3 and np.isnan(r[0]) and not np.isnan(r[1])
+    # untouched series stay dense and aligned
+    mae = overall_hist["Mean Absolute Error (MAE)"]
+    assert len(mae) == 3 and not np.any(np.isnan(mae))
+    for stats in dim_hist.values():
+        assert all(len(v) == 3 for v in stats.values())
+    # plots still render with the gap
+    assert os.path.exists(plot_overall_stats(tmp))

@@ -179,3 +179,26 @@ def test_batches_shapes_and_drop_last():
     b1 = next(iter(ds.batches(bs, shuffle=True, seed=3)))
     b2 = next(iter(ds.batches(bs, shuffle=True, seed=3)))
     np.testing.assert_array_equal(b1[0], b2[0])
+
+
+def test_extract_audio_features_integer_ndarray_guard():
+    """Integer-PCM ndarrays fed straight into extract_audio_features (the
+    streaming surface) must be widened + peak-normalized like the loaders —
+    a silent float cast would feed ±32767-amplitude garbage (ADVICE r2)."""
+    from neurosync_trainer_lite_tpu.data.processing import extract_audio_features
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(1.5 * SR)) / SR
+    y = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    y_norm = y / np.abs(y).max()
+
+    ref_feats, _ = extract_audio_features(y_norm, SR)
+
+    y_i16 = np.clip(y_norm * 32767, -32768, 32767).astype(np.int16)
+    i16_feats, _ = extract_audio_features(y_i16, SR)
+    np.testing.assert_allclose(i16_feats, ref_feats, atol=0.15)
+
+    y_i32 = (y_i16.astype(np.int64) << 16).astype(np.int32)
+    i32_feats, _ = extract_audio_features(y_i32, SR)
+    np.testing.assert_allclose(i32_feats, i16_feats, atol=1e-3)

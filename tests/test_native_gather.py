@@ -61,3 +61,32 @@ def test_prefetch_propagates_errors():
     next(it)
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_prefetch_abandonment_releases_worker():
+    """Abandoning the generator mid-epoch (step raised / Ctrl-C) must stop
+    the worker thread instead of leaving it blocked forever on the bounded
+    queue holding assembled (possibly device-resident) batches."""
+    import threading
+    import time
+
+    produced = []
+
+    def source():
+        i = 0
+        while True:  # infinite: would deadlock a plain q.put forever
+            produced.append(i)
+            yield (np.full(4, i), np.full(4, i))
+            i += 1
+
+    before = threading.active_count()
+    it = prefetch(source(), depth=2)
+    next(it)
+    it.close()  # consumer abandons; finally sets the stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    n_at_stop = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n_at_stop, "worker kept assembling after abandon"
