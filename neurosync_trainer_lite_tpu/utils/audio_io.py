@@ -73,6 +73,12 @@ def _decode_float_wav(data: bytes) -> tuple[np.ndarray, int]:
             bits = int.from_bytes(fmt[14:16], "little")
             if tag != 3 or bits not in (32, 64):
                 raise ValueError(f"not an IEEE-float WAV (tag {tag}, {bits}-bit)")
+            if rate <= 0:
+                # A zero/negative fmt-chunk rate would otherwise surface as a
+                # ZeroDivisionError from Fraction() inside resample(), which
+                # load_audio doesn't catch — raise ValueError so the caller
+                # falls through to the ffmpeg decoder instead.
+                raise ValueError(f"invalid WAV sample rate: {rate}")
             dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
             usable = len(body) // (dt.itemsize * n_ch) * (dt.itemsize * n_ch)
             y = np.frombuffer(body[:usable], dtype=dt).astype(np.float32)

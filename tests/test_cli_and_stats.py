@@ -212,6 +212,35 @@ def test_float_wav_decodes_without_ffmpeg(tmp_path):
     np.testing.assert_allclose(out2, np.zeros_like(y), atol=1e-7)
 
 
+def test_corrupt_float_wav_rate_falls_back_to_ffmpeg(tmp_path):
+    """A tag-3 WAV whose fmt chunk advertises sample rate 0 must raise
+    ValueError from the RIFF parser (not ZeroDivisionError from Fraction in
+    resample), so load_audio falls through to the ffmpeg decoder (r3 ADVICE)."""
+    from unittest import mock
+
+    import scipy.io.wavfile as wavfile
+
+    from neurosync_trainer_lite_tpu.utils import audio_io
+
+    sr = 22050
+    y = (0.1 * np.sin(np.arange(sr) / 30.0)).astype(np.float32)
+    path = os.path.join(str(tmp_path), "f32.wav")
+    wavfile.write(path, sr, y)  # float32 payload => format tag 3
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    fmt_off = data.index(b"fmt ")
+    data[fmt_off + 12: fmt_off + 16] = (0).to_bytes(4, "little")  # rate := 0
+
+    with pytest.raises(ValueError, match="invalid WAV sample rate"):
+        audio_io._decode_float_wav(bytes(data))
+
+    sentinel = (np.zeros(8, np.float32), sr)
+    with mock.patch.object(audio_io, "_decode_via_ffmpeg",
+                           return_value=sentinel) as m:
+        out, out_sr = audio_io.load_audio(bytes(data), sr=sr)
+    assert m.called and out_sr == sr and out.shape == (8,)
+
+
 def test_stats_tolerate_emotion_columns_in_ground_truth(tmp_path):
     """A ground-truth CSV carrying the 7 optional emotion columns (the
     68-column LiveLink layout csv_io can itself write) must still compare
