@@ -788,7 +788,8 @@ class MultiStreamer:
     # -- warmup --------------------------------------------------------------
 
     def warmup(self, warm_fallback: bool = True, parallel: int = 1,
-               push_dtypes: tuple | None = None) -> int:
+               push_dtypes: tuple | None = None,
+               background_fallback: bool = False) -> int:
         """Pre-compile AND pre-execute every program a deployment can touch:
         the tick program at each active-session bucket (× each warmed push
         dtype × each reachable decode bucket, plus the ring-only intake
@@ -810,6 +811,20 @@ class MultiStreamer:
         the whole fallback program set. False trades that safety for a
         faster warmup (the persistent cache usually absorbs the flip cost
         on a machine that has ever run two-dispatch mode).
+
+        background_fallback (opt-in; server --background_warmup): return
+        as soon as the FUSED family — everything live ticks can touch —
+        is warmed and forced, and warm the fallback family on a daemon
+        thread while traffic runs. The fallback programs are pure
+        insurance (used only after a watchdog flip, which by design
+        already costs one slow tick), so deferring them off the
+        time-to-serve path is free of live-path compile risk; a flip that
+        races the warmer simply waits for it (`wait_background_warmup`)
+        or pays the lazy compile the flip path always tolerated. The
+        D-ladder itself is NOT prunable: every warmed (k-bucket,
+        push-dtype, d-bucket ≤ decode_bucket_cap) signature is reachable
+        by a live tick (d = bucket(ready rows), ready ≤ min(cap, k), and
+        each d ≤ dmax has a ready count mapping to it).
 
         parallel: cold-start compiles are client-CPU-bound (~10-20 s of XLA
         per big program, serialized by a single dispatch thread); >1 runs
@@ -841,6 +856,11 @@ class MultiStreamer:
         kcap = self._kcap
         cfg = self.cfg
         thunks = []   # each dispatches one program, returns a scalar gather
+        #: fallback-family thunks (two-dispatch ticks + decode buckets) —
+        #: deferred to a daemon thread when background_fallback is set and
+        #: the live family is fused; in two-dispatch mode these ARE the
+        #: live family and always stay eager
+        fb_thunks = []
         #: fused signatures this warmup covers — committed to _fused_seen
         #: only AFTER the drain pass proves every program actually executed.
         #: Marking at thunk-build time would, on a warmup that dies partway
@@ -914,7 +934,7 @@ class MultiStreamer:
                             feat_dtype=self._feat_dtype)
                         return wins[0, 0, 0]
 
-                    thunks.append(_warm_tick)
+                    (fb_thunks if self.fused else thunks).append(_warm_tick)
             if k >= kcap:
                 break
             k = session_bucket(k + 1)  # walk the ladder, not just pow2
@@ -936,20 +956,54 @@ class MultiStreamer:
                     decode_chunks_batched(self.params, chunk, cfg)
                     return None
 
-                thunks.append(_warm_decode)
+                (fb_thunks if self.fused else thunks).append(_warm_decode)
                 m *= 2
 
-        workers = max(1, min(parallel, len(thunks), os.cpu_count() or 1))
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        def _run(batch):
+            workers = max(1, min(parallel, len(batch), os.cpu_count() or 1))
+            if workers > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(workers) as ex:
-                pending = [g for g in ex.map(lambda f: f(), thunks)
-                           if g is not None]
-        else:
-            pending = [g for g in (f() for f in thunks) if g is not None]
-        for g in pending:
-            float(g)  # force the deferred execution chain behind it
-        # every thunk demonstrably executed — NOW the signatures are warm
+                with ThreadPoolExecutor(workers) as ex:
+                    pending = [g for g in ex.map(lambda f: f(), batch)
+                               if g is not None]
+            else:
+                pending = [g for g in (f() for f in batch) if g is not None]
+            for g in pending:
+                float(g)  # force the deferred execution chain behind it
+
+        defer = (background_fallback and self.fused and fb_thunks)
+        if not defer:
+            thunks = thunks + fb_thunks
+        _run(thunks)
+        # every eager thunk demonstrably executed — NOW the signatures warm
         self._fused_seen.update(warmed_sigs)
+        if defer:
+            import threading
+
+            def _bg():
+                try:
+                    _run(fb_thunks)
+                except Exception as e:  # noqa: BLE001 — insurance warming
+                    # must never kill serving; a failed background warm just
+                    # means a watchdog flip pays the lazy compile it always
+                    # tolerated
+                    print(f"background fallback warmup failed: {e!r}")
+
+            self._bg_warmer = threading.Thread(
+                target=_bg, name="neurosync-fallback-warmup", daemon=True)
+            self._bg_warmer.start()
         return len(thunks)
+
+    #: background fallback-warmup thread (None until warmup(...,
+    #: background_fallback=True) starts one)
+    _bg_warmer = None
+
+    def wait_background_warmup(self, timeout: float | None = None) -> bool:
+        """Join the background fallback warmer; True when it has finished
+        (or never ran). Soaks/tests use this to assert the fallback family
+        is warm before injecting a watchdog flip."""
+        if self._bg_warmer is not None:
+            self._bg_warmer.join(timeout)
+            return not self._bg_warmer.is_alive()
+        return True

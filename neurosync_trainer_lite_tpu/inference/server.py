@@ -48,7 +48,7 @@ MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 def make_handler(params, cfg: Config, *, max_sessions: int = 8,
                  fused_ticks: bool = True, push_seconds: float | None = None,
-                 audio_format: str = "both"):
+                 audio_format: str = "both", background_warmup: bool = False):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -81,8 +81,12 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
             """Pre-compile the live-session tick/decode programs (see
             serve()/warmup_handler — called at deployment startup). Only
             the accepted audio format(s) are warmed (the streamer's
-            push_formats — set from --audio_format)."""
-            return get_streamer().warmup()
+            push_formats — set from --audio_format). With
+            background_warmup, only the fused (live) family blocks
+            startup; the two-dispatch fallback family warms on a daemon
+            thread while traffic runs."""
+            return get_streamer().warmup(
+                background_fallback=background_warmup)
 
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -219,12 +223,13 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
           *, server_class=HTTPServer, max_sessions: int = 8,
           fused_ticks: bool = True, push_seconds: float | None = None,
-          audio_format: str = "both"):
+          audio_format: str = "both", background_warmup: bool = False):
     httpd = server_class((host, port),
                          make_handler(params, cfg, max_sessions=max_sessions,
                                       fused_ticks=fused_ticks,
                                       push_seconds=push_seconds,
-                                      audio_format=audio_format))
+                                      audio_format=audio_format,
+                                      background_warmup=background_warmup))
     return httpd
 
 
@@ -247,6 +252,13 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8200)
     parser.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     parser.add_argument("--max_sessions", type=int, default=8)
+    parser.add_argument("--background_warmup", action="store_true",
+                        help="return from startup warmup as soon as the "
+                        "fused (live) program family is compiled+forced; "
+                        "the two-dispatch fallback family — used only "
+                        "after a stall-watchdog flip — warms on a daemon "
+                        "thread while traffic runs (measured: cuts the "
+                        "cold time-to-serve, docs/PERF.md)")
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip startup pre-compilation (first live "
                         "session then pays the XLA compiles)")
@@ -292,7 +304,8 @@ def main(argv=None):
                   max_sessions=args.max_sessions,
                   fused_ticks=not args.two_dispatch_ticks,
                   push_seconds=args.push_capacity_s,
-                  audio_format=args.audio_format)
+                  audio_format=args.audio_format,
+                  background_warmup=args.background_warmup)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)

@@ -587,6 +587,51 @@ def test_warmup_covers_the_watchdog_fallback_family(setup):
     assert n_full == n_lean + n_unfused
 
 
+def test_background_fallback_warmup_defers_insurance_compiles(setup):
+    """warmup(background_fallback=True) blocks only on the fused (live)
+    family — same eager count as warm_fallback=False — and warms the
+    two-dispatch fallback family on a daemon thread; once joined, a
+    watchdog-style flip to two-dispatch ticks compiles nothing new
+    (VERDICT r3 item #7: the fallback set is pure insurance, so it comes
+    off the cold time-to-serve path)."""
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
+    from neurosync_trainer_lite_tpu.inference.chunked import _decode_fn
+
+    cfg, params = setup
+    n_lean = _multi(params, cfg, max_sessions=2,
+                    fused_decode=True).warmup(warm_fallback=False)
+
+    ms = _multi(params, cfg, max_sessions=2, fused_decode=True)
+    n_eager = ms.warmup(background_fallback=True)
+    assert n_eager == n_lean          # fallback family not on the eager path
+    assert ms._bg_warmer is not None
+    assert ms.wait_background_warmup(120.0)
+
+    # post-join: the fallback programs are compiled — flipping mid-session
+    # (what the stall watchdog does) adds no cache entries
+    before_tick = M._tick_program._cache_size()
+    before_dec = _decode_fn(cfg)._cache_size()
+    ms.fused = False
+    rng = np.random.default_rng(7)
+    sid = ms.open()
+    for _ in range(4):
+        ms.push_audio(sid, (rng.standard_normal(cfg.sr // 2) * 0.4
+                            ).astype(np.float32))
+        ms.tick()
+    ms.flush(sid)
+    assert ms.pop_frames(sid).shape[1] == cfg.output_dim
+    assert M._tick_program._cache_size() == before_tick
+    assert _decode_fn(cfg)._cache_size() == before_dec
+
+    # degenerate cases: nothing to background
+    ms2 = _multi(params, cfg, max_sessions=2, fused_decode=True)
+    ms2.warmup(warm_fallback=False, background_fallback=True)
+    assert ms2._bg_warmer is None and ms2.wait_background_warmup()
+    ms3 = _multi(params, cfg, max_sessions=2, fused_decode=False)
+    n3 = ms3.warmup(background_fallback=True)  # two-dispatch IS the live set
+    assert ms3._bg_warmer is None and n3 > 0
+
+
 def test_device_fault_recovers_from_host_shadows(setup, monkeypatch):
     """A device failure mid-session (tunnel flap, preemption) loses the HBM
     rings; the tick must rebuild every session from its host shadow and
