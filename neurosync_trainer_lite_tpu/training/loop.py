@@ -181,13 +181,20 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
 
 
 def _activation_bytes(cfg: Config, n_data_shards: int = 1) -> int:
-    """Calibrated bf16-activation estimate of one no-remat train step
-    (per device): ≈ 2·B·T·H·(25·L_enc + 35·L_dec). Single source for both
-    the HBM estimator and the auto-remat planner's resident-layer math."""
+    """Calibrated activation estimate of one no-remat train step
+    (per device): ≈ bytes·B·T·H·(25·L_enc + 35·L_dec), where bytes is the
+    compute dtype's width — 2 under bf16 AMP (the calibrated default), 4
+    when use_amp=False runs the whole step in fp32 (a fp32 control run at
+    the flagship geometry stores 2× the activation bytes; estimating it at
+    the bf16 width over-commits resident layers and OOMs). Single source
+    for both the HBM estimator and the auto-remat planner's
+    resident-layer math."""
     B = max(1, cfg.batch_size // max(1, n_data_shards))
     if cfg.grad_accum_steps > 1:
         B = max(1, B // cfg.grad_accum_steps)
-    return 2 * B * cfg.micro_batch_size * cfg.hidden_dim * (60 * cfg.n_layers)
+    act_bytes = 2 if cfg.use_amp else 4
+    return act_bytes * B * cfg.micro_batch_size * cfg.hidden_dim * (
+        60 * cfg.n_layers)
 
 
 def estimate_step_hbm_bytes(cfg: Config, n_data_shards: int = 1) -> int:

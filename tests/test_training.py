@@ -218,6 +218,19 @@ def test_auto_remat_planner_decisions():
         big = loop._maybe_auto_remat(
             full_config().replace(batch_size=256), 1, verbose=False)
         assert big.remat and big.remat_scope == "all"
+        # fp32 control run (use_amp=False): activations are 4-byte, ~2x the
+        # bf16 estimate — at the flagship geometry even a fully-rematted
+        # decoder leaves the fp32 encoder activations over a 16 GB budget,
+        # so the planner must escalate to scope='all' (estimating fp32 at
+        # the bf16 width over-committed residents and OOM'd)
+        fp32 = loop._maybe_auto_remat(
+            full_config(use_amp=False), 1, verbose=False)
+        assert fp32.remat and fp32.remat_scope == "all"
+        from neurosync_trainer_lite_tpu.training.loop import (
+            estimate_step_hbm_bytes)
+        est_bf16 = estimate_step_hbm_bytes(full_config())
+        est_fp32 = estimate_step_hbm_bytes(full_config(use_amp=False))
+        assert est_fp32 > 1.6 * est_bf16, (est_bf16, est_fp32)
 
 
 def test_auto_remat_residency_cap_is_scoped_to_v5e():
