@@ -48,7 +48,8 @@ def main():
                             "attndrop-skip", "attndrop-bf16",
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
                             "unroll-dec-tail", "unroll-remat-head",
-                            "sdpa-nonlean", "sdpa-lean-nosplit", "no-opt"),
+                            "sdpa-nonlean", "sdpa-lean-nosplit", "no-opt",
+                            "grads-bf16-stage", "no-gradnorm"),
                    help="ablate/prototype a component (diagnostic only). "
                         "The r3 forward prototypes (ffn-nokeep, "
                         "dropout-regen, mask-lean) SHIPPED as defaults and "
@@ -251,6 +252,64 @@ def main():
         from neurosync_trainer_lite_tpu.models import seq2seq as s2s
         am.multi_head_attention = mha_nosplit
         s2s.multi_head_attention = mha_nosplit
+
+    if args.patch == "grads-bf16-stage":
+        # prototype (VERDICT r3 weak #1 lever): stage gradients in bf16
+        # until the optimizer update. The model consumes every weight via
+        # w.astype(x.dtype), so differentiating w.r.t. PRE-CAST bf16 params
+        # makes those casts no-ops — the backward's per-leaf bf16→fp32
+        # cotangent converts (in the convert_reduce trace block) disappear,
+        # grad-norm/clip read half the bytes, and the single fp32 widening
+        # happens inside the Adam elementwise pass (moments stay fp32;
+        # master weights stay fp32). Semantic delta vs ship: grads are
+        # rounded to bf16 once before Adam; norm accumulated fp32.
+        import jax as _jax
+        import jax.numpy as _jnp
+        import optax as _optax
+        from neurosync_trainer_lite_tpu.training import step as st
+
+        def make_step_bf16grads(cfg, tx, *, donate=True, total_steps=1):
+            def step(state, src, trg, rng):
+                bf16p = _jax.tree.map(
+                    lambda p: p.astype(_jnp.bfloat16)
+                    if p.dtype == _jnp.float32 else p, state.params)
+                loss, grads = _jax.value_and_grad(st._compute_loss)(
+                    bf16p, src, trg, cfg, rng, True, None, total_steps)
+                # fp32-accumulated norm over bf16 leaves (reads half bytes)
+                grad_norm = _jnp.sqrt(sum(
+                    _jnp.sum(_jnp.square(g.astype(_jnp.float32)))
+                    for g in _jax.tree.leaves(grads)))
+                updates, opt_state = tx.update(
+                    grads, state.opt_state, state.params)
+                params = _optax.apply_updates(state.params, updates)
+                return st.TrainState(params, opt_state), loss, grad_norm
+            return _jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        st.make_train_step = make_step_bf16grads
+
+    if args.patch == "no-gradnorm":
+        # diagnostic (VERDICT r3 weak #1 lever): drop the separately
+        # returned pre-clip grad norm — clip_by_global_norm still computes
+        # its own. If the delta is ~0, XLA already CSEs the two identical
+        # norm reductions and the "fuse the grad-norm reduce into the
+        # update" lever has nothing left to win.
+        import jax as _jax
+        import jax.numpy as _jnp
+        import optax as _optax
+        from neurosync_trainer_lite_tpu.training import step as st
+
+        def make_step_nonorm(cfg, tx, *, donate=True, total_steps=1):
+            def step(state, src, trg, rng):
+                loss, grads = _jax.value_and_grad(st._compute_loss)(
+                    state.params, src, trg, cfg, rng, True, None, total_steps)
+                updates, opt_state = tx.update(
+                    grads, state.opt_state, state.params)
+                params = _optax.apply_updates(state.params, updates)
+                return (st.TrainState(params, opt_state), loss,
+                        _jnp.zeros((), _jnp.float32))
+            return _jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        st.make_train_step = make_step_nonorm
 
     if args.patch == "no-opt":
         # diagnostic: replace the optimizer chain (global-norm clip + L2
