@@ -62,14 +62,31 @@ def shape_bytes(text: str) -> int:
 
 
 # one optimized-HLO instruction: `  name = <output shapes> opcode(<operands>)`
+# Tuple output shapes carry layout annotations with parens — e.g.
+# `(s32[]{:T(128)}, bf16[2,1024]{1,0:T(8,128)(2,1)})` — so the tuple
+# alternative must allow ONE level of nested parens or every multi-output
+# fusion (and the while instructions) silently fails to parse.
 _INSTR = re.compile(
-    r"^\s+(?:ROOT\s+)?([%\w.\-]+)\s+=\s+(\([^)]*\)|\S+)\s+(\w[\w\-]*)\((.*)$")
-_CALLS = re.compile(r"calls=([%\w.\-]+)")
-_BODY = re.compile(r"body=([%\w.\-]+)")
-_COND = re.compile(r"condition=([%\w.\-]+)")
-_COMP_HDR = re.compile(r"^(?:ENTRY\s+)?([%\w.\-]+)\s+\([^)]*\)\s*->")
-_TRIP = re.compile(r"compare\(.*\), direction=LT")
-_CONST_S32 = re.compile(r"= s32\[\] constant\((\d+)\)")
+    r"^\s+(?:ROOT\s+)?([%\w.\-]+)\s+=\s+"
+    r"(\((?:[^()]|\([^()]*\))*\)|\S+)\s+(\w[\w\-]*)\((.*)$")
+_BODY = re.compile(r"body=%?([\w.\-]+)")
+_COND = re.compile(r"condition=%?([\w.\-]+)")
+_CONST_S32 = re.compile(r"s32\[\]\S* constant\((\d+)\)")
+# operand list ends where the first `), attr=` begins (attrs never precede it)
+_ATTRS = re.compile(r"\),\s+\w[\w\-]*=")
+_REF = re.compile(r"%([\w.\-]+)")
+
+# bookkeeping ops that move no HBM bytes of their own. The -start half of
+# async pairs is skipped so each async copy/slice counts once, at -done.
+# On this program every async pair has one side in scoped memory (S(1) =
+# VMEM prefetch), so the payload crosses HBM exactly ONCE (read on
+# HBM->VMEM prefetches, write on spills) — count 1x, not read+write.
+_SKIP_OPS = ("parameter", "constant", "get-tuple-element", "tuple",
+             "bitcast", "after-all", "while", "copy-start", "slice-start",
+             "custom-call-start", "all-reduce-start", "all-gather-start",
+             "async-start")
+_DONE_OPS = ("copy-done", "slice-done", "custom-call-done", "async-done",
+             "all-reduce-done", "all-gather-done")
 
 
 def group_name(name: str) -> str:
@@ -78,68 +95,75 @@ def group_name(name: str) -> str:
 
 
 def parse_hlo(text: str):
-    """Return (per-computation instruction list, while-structure).
+    """Parse optimized HLO into per-computation instruction records.
 
-    Each instruction: (name, out_bytes, opcode, operand_bytes, calls).
-    while-structure: list of (body_computation, trip_count_or_None).
+    Returns (comps, trips):
+      comps[name] = (records, shapes) where each record is
+        (instr_name, out_bytes, opcode, operand_name_list) and
+        shapes maps instr_name -> out_bytes (for operand resolution:
+        optimized-HLO operands are bare %name refs with NO shape text,
+        so operand read-bytes must be resolved via the producer's shape);
+      trips[while_body_comp] = trip count parsed from the loop-condition
+        bound constant (None when not found).
     """
-    comps: dict[str, list] = {}
-    cur = None
+    comps: dict[str, tuple[list, dict]] = {}
+    cur_recs, cur_shapes = None, None
     whiles = []  # (body comp name, cond comp name)
     cond_bounds: dict[str, int] = {}  # condition comp -> constant bound
+    cur = None
     for line in text.splitlines():
-        hdr = _COMP_HDR.match(line)
-        if hdr and "->" in line and not line.startswith(" "):
-            cur = hdr.group(1).lstrip("%")
-            comps[cur] = []
+        if line and not line.startswith(" ") and ") -> " in line:
+            h = line.split(" ")
+            cur = (h[1] if h[0] == "ENTRY" else h[0]).lstrip("%")
+            cur_recs, cur_shapes = [], {}
+            comps[cur] = (cur_recs, cur_shapes)
             continue
         m = _INSTR.match(line)
         if not m or cur is None:
             continue
         name, out_shape, opcode, rest = m.groups()
+        name = name.lstrip("%")
+        out_b = shape_bytes(out_shape)
+        cur_shapes[name] = out_b
         if opcode == "while":
             b, c = _BODY.search(rest), _COND.search(rest)
             if b and c:
-                whiles.append((b.group(1).lstrip("%"),
-                               c.group(1).lstrip("%")))
+                whiles.append((b.group(1), c.group(1)))
             continue  # carried tuple isn't per-iteration HBM traffic
-        if opcode in ("parameter", "constant", "get-tuple-element", "tuple",
-                      "bitcast", "after-all"):
-            continue  # no-traffic / bookkeeping ops
-        operand_part = rest.rsplit("), ", 1)[0] if "), " in rest else rest
-        callee = _CALLS.search(rest)
-        comps[cur].append((
-            name.lstrip("%"), shape_bytes(out_shape), opcode,
-            shape_bytes(operand_part),
-            callee.group(1).lstrip("%") if callee else None))
-        # a loop condition's bound constant: `s32[] constant(N)`
+        operand_part = _ATTRS.split(rest)[0]
+        cur_recs.append((name, out_b, opcode, _REF.findall(operand_part)))
         cm = _CONST_S32.search(line)
-        if cm and cur is not None:
+        if cm:
             cond_bounds.setdefault(cur, int(cm.group(1)))
-    trips = []
-    for body, cond in whiles:
-        trips.append((body, cond_bounds.get(cond)))
+    trips = {body: cond_bounds.get(cond) for body, cond in whiles}
     return comps, trips
 
 
-def account(text: str, default_trip: int):
-    comps, whiles = parse_hlo(text)
-    body_trip = {body: (t if t is not None else default_trip)
-                 for body, t in whiles}
-    # computations called via `calls=` are fusion internals — their values
-    # never touch HBM; traffic is accounted once at the fusion call site
-    fusion_callees = {callee for instrs in comps.values()
-                      for *_, callee in instrs if callee}
+def account(text: str, default_trip: int, entry: str):
+    """Fusion-boundary HBM traffic: for every instruction in the entry
+    computation and the while bodies (x trip count), bytes = output write +
+    resolved operand reads. Fusion internals never appear (callee
+    computations aren't walked); async pairs count once at the -done half.
+    This is a fusion-boundary UPPER model: values the scheduler keeps
+    VMEM-resident still get charged as HBM reads at their consumers.
+    Cross-check against XLA's own cost_analysis 'bytes accessed' on the
+    shipped step: 167.5 GB here vs 153.2 GB from XLA."""
+    comps, trips = parse_hlo(text)
+    roots = {entry: 1}
+    for body, t in trips.items():
+        roots[body] = t if t is not None else default_trip
     by_group = collections.Counter()
     by_instr = []
-    for name, instrs in comps.items():
-        if name in fusion_callees and name not in body_trip:
-            continue
-        mult = body_trip.get(name, 1)
-        for iname, out_b, opcode, in_b, callee in instrs:
-            b = (out_b + in_b) * mult
-            g = group_name(iname)
-            by_group[g] += b
+    for comp, mult in roots.items():
+        recs, shapes = comps[comp]
+        for iname, out_b, opcode, operands in recs:
+            if opcode in _SKIP_OPS:
+                continue
+            if opcode in _DONE_OPS:
+                b = out_b * mult  # VMEM-prefetch payload crosses HBM once
+            else:
+                b = (out_b + sum(shapes.get(o, 0) for o in operands)) * mult
+            by_group[group_name(iname)] += b
             by_instr.append((b, iname, opcode))
     return by_group, by_instr
 
@@ -187,6 +211,14 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="tiny_config geometry (parser smoke test only)")
     p.add_argument("--dump", help="also write the raw per-group bytes JSON")
+    p.add_argument("--dump-hlo", help="write the optimized HLO text (debug "
+                                      "the parser offline, no re-compiles)")
+    p.add_argument("--hlo", help="analyze a previously dumped HLO text file "
+                                 "instead of compiling (offline mode; "
+                                 "cost_analysis cross-check unavailable)")
+    p.add_argument("--default-trip", type=int, default=2,
+                   help="--hlo mode: trip count for while bodies whose "
+                        "condition bound can't be parsed (= remat_layers)")
     args = p.parse_args()
 
     from neurosync_trainer_lite_tpu.utils.compilation_cache import (
@@ -194,46 +226,65 @@ def main():
 
     enable_persistent_cache()
 
-    import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-
-    import jax.numpy as jnp
-
-    from neurosync_trainer_lite_tpu.config import full_config, tiny_config
-    from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
-    from neurosync_trainer_lite_tpu.training.step import (
-        init_train_state, make_train_step)
-
-    if args.tiny:
-        cfg = tiny_config(dropout=args.dropout, remat=True,
-                          remat_scope="decoder", remat_layers=2,
-                          unroll_residents=True, use_amp=True)
+    compiled = None
+    if args.hlo:
+        with open(args.hlo) as f:
+            text = f.read()
+        default_trip = args.default_trip
+        cfg_desc = {"dropout": args.dropout, "remat_layers": default_trip}
     else:
-        cfg = _maybe_auto_remat(full_config(dropout=args.dropout), 1,
-                                verbose=False)
-    state, tx = init_train_state(cfg, steps_per_epoch=100)
-    step = make_train_step(cfg, tx)
-    src = jax.ShapeDtypeStruct(
-        (cfg.batch_size, cfg.micro_batch_size, cfg.input_dim), jnp.float32)
-    trg = jax.ShapeDtypeStruct(
-        (cfg.batch_size, cfg.micro_batch_size, cfg.output_dim), jnp.float32)
-    rng = jax.ShapeDtypeStruct((), jax.eval_shape(
-        lambda: jax.random.key(0, impl=cfg.prng_impl)).dtype)
-    abstract_state = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
-    print(f"lowering + compiling shipped step (remat_scope="
-          f"{cfg.remat_scope}, remat_layers={cfg.remat_layers}, "
-          f"unroll_residents={cfg.unroll_residents}) on "
-          f"{jax.devices()[0].platform} ...", flush=True)
-    compiled = jax.jit(step, donate_argnums=(0,)).lower(
-        abstract_state, src, trg, rng).compile()
-    text = compiled.as_text()
-    print(f"optimized HLO: {len(text) / 1e6:.1f} MB of text")
+        import jax
 
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+
+        import jax.numpy as jnp
+
+        from neurosync_trainer_lite_tpu.config import full_config, tiny_config
+        from neurosync_trainer_lite_tpu.training.loop import _maybe_auto_remat
+        from neurosync_trainer_lite_tpu.training.step import (
+            init_train_state, make_train_step)
+
+        if args.tiny:
+            cfg = tiny_config(dropout=args.dropout, remat=True,
+                              remat_scope="decoder", remat_layers=2,
+                              unroll_residents=True, use_amp=True)
+        else:
+            cfg = _maybe_auto_remat(full_config(dropout=args.dropout), 1,
+                                    verbose=False)
+        state, tx = init_train_state(cfg, steps_per_epoch=100)
+        step = make_train_step(cfg, tx)
+        src = jax.ShapeDtypeStruct(
+            (cfg.batch_size, cfg.micro_batch_size, cfg.input_dim),
+            jnp.float32)
+        trg = jax.ShapeDtypeStruct(
+            (cfg.batch_size, cfg.micro_batch_size, cfg.output_dim),
+            jnp.float32)
+        rng = jax.ShapeDtypeStruct((), jax.eval_shape(
+            lambda: jax.random.key(0, impl=cfg.prng_impl)).dtype)
+        abstract_state = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
+        print(f"lowering + compiling shipped step (remat_scope="
+              f"{cfg.remat_scope}, remat_layers={cfg.remat_layers}, "
+              f"unroll_residents={cfg.unroll_residents}) on "
+              f"{jax.devices()[0].platform} ...", flush=True)
+        compiled = jax.jit(step, donate_argnums=(0,)).lower(
+            abstract_state, src, trg, rng).compile()
+        text = compiled.as_text()
+        default_trip = cfg.remat_layers
+        cfg_desc = {"dropout": cfg.dropout, "remat_layers": cfg.remat_layers}
+    print(f"optimized HLO: {len(text) / 1e6:.1f} MB of text")
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(text)
+        print(f"wrote {args.dump_hlo}")
+
+    em = re.search(r"^ENTRY\s+%?([\w.\-]+)", text, re.M)
+    if not em:
+        raise SystemExit("no ENTRY computation found in HLO text")
     # default trip count: the remat'd decoder scan runs remat_layers iters
-    by_group, by_instr = account(text, default_trip=cfg.remat_layers)
+    by_group, by_instr = account(text, default_trip=default_trip,
+                                 entry=em.group(1))
 
     measured = {}
     if args.trace:
@@ -261,12 +312,13 @@ def main():
             json.dump({"bytes_by_group": dict(by_group),
                        "measured_ms": measured,
                        "hbm_gbps": args.hbm_gbps,
-                       "config": {"dropout": cfg.dropout,
-                                  "remat_layers": cfg.remat_layers}},
+                       "config": cfg_desc},
                       f, indent=1)
         print(f"\nwrote {args.dump}")
 
     # cost_analysis cross-check (XLA's own aggregate accounting)
+    if compiled is None:
+        return 0
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
