@@ -789,7 +789,8 @@ class MultiStreamer:
 
     def warmup(self, warm_fallback: bool = True, parallel: int = 1,
                push_dtypes: tuple | None = None,
-               background_fallback: bool = False) -> int:
+               background_fallback: bool = False,
+               serve_buckets: int | None = None) -> int:
         """Pre-compile AND pre-execute every program a deployment can touch:
         the tick program at each active-session bucket (× each warmed push
         dtype × each reachable decode bucket, plus the ring-only intake
@@ -811,6 +812,20 @@ class MultiStreamer:
         the whole fallback program set. False trades that safety for a
         faster warmup (the persistent cache usually absorbs the flip cost
         on a machine that has ever run two-dispatch mode).
+
+        serve_buckets (opt-in; server --serve_buckets N — fused mode only,
+        ignored with a note otherwise): PROGRESSIVE warmup. Eagerly warm
+        only the session-bucket rungs a fresh deployment can reach first
+        (k ≤ bucket(N), with their full decode ladders and ring ticks) and
+        return — then ramp the remaining rungs ASCENDING on the daemon
+        thread while traffic runs, committing each rung's signatures as
+        its programs are forced. Capacity grows as the warmer climbs; a
+        burst of opens that outruns it degrades to the lazy-compile path
+        every unwarmed signature already tolerates (first-use watchdog
+        exemption above). Measured cold at max_sessions=32/s16/cap-16:
+        full eager warmup is 1192 s time-to-serve; the first rungs are
+        minutes (docs/PERF.md r4). Implies the fallback family is also
+        deferred (after the last rung).
 
         background_fallback (opt-in; server --background_warmup): return
         as soon as the FUSED family — everything live ticks can touch —
@@ -855,23 +870,28 @@ class MultiStreamer:
         rng = np.random.default_rng(0)
         kcap = self._kcap
         cfg = self.cfg
-        thunks = []   # each dispatches one program, returns a scalar gather
+        #: fused mode: one (k_bucket, thunks, sigs) group per ladder rung,
+        #: so progressive warmup can cut the ladder at serve_buckets and
+        #: ramp the rest ascending. Each thunk dispatches one program and
+        #: returns a scalar gather.
+        groups = []
+        thunks = []   # two-dispatch mode: the (flat) live family
         #: fallback-family thunks (two-dispatch ticks + decode buckets) —
-        #: deferred to a daemon thread when background_fallback is set and
-        #: the live family is fused; in two-dispatch mode these ARE the
-        #: live family and always stay eager
+        #: deferred to a daemon thread when background_fallback or
+        #: serve_buckets is set and the live family is fused; in
+        #: two-dispatch mode these ARE the live family and always stay eager
         fb_thunks = []
-        #: fused signatures this warmup covers — committed to _fused_seen
-        #: only AFTER the drain pass proves every program actually executed.
-        #: Marking at thunk-build time would, on a warmup that dies partway
-        #: (a tunnel flap) with a caller that catches and serves anyway,
-        #: flag still-cold signatures as warmed — their first live tick then
+        #: fused signatures are committed to _fused_seen only AFTER a drain
+        #: pass proves their programs actually executed. Marking at
+        #: thunk-build time would, on a warmup that dies partway (a tunnel
+        #: flap) with a caller that catches and serves anyway, flag
+        #: still-cold signatures as warmed — their first live tick then
         #: pays the 20-50 s cold compile WITH the watchdog armed, and the
         #: compile is misread as a stall (a permanent fused→two-dispatch
         #: flip: exactly what the first-use exemption exists to prevent).
-        warmed_sigs = []
         k = 1
         while True:
+            g_thunks, g_sigs = [], []
             # the requested upload-dtype variants: fp32 and/or raw-int16
             noise = rng.standard_normal((k, self.push_capacity))
             variants = []
@@ -901,10 +921,10 @@ class MultiStreamer:
                                 sr=cfg.sr, cfg=cfg)
                             return dec[0, 0, 0]
 
-                        thunks.append(_warm_fused)
+                        g_thunks.append(_warm_fused)
                         # warmed signatures get full watchdog protection
                         # from their very first live tick
-                        warmed_sigs.append((k, new.dtype.str, dl))
+                        g_sigs.append((k, new.dtype.str, dl))
                         if dl >= dmax:
                             break
                         dl = session_bucket(dl + 1)
@@ -918,8 +938,8 @@ class MultiStreamer:
                             jnp.full(k, self.push_capacity, jnp.int32))
                         return rb[0, 0]
 
-                    thunks.append(_warm_ring)
-                    warmed_sigs.append((k, new.dtype.str, 0))
+                    g_thunks.append(_warm_ring)
+                    g_sigs.append((k, new.dtype.str, 0))
                 if not self.fused or warm_fallback:
                     def _warm_tick(k=k, new=new):
                         _, wins = _tick_program(
@@ -935,6 +955,8 @@ class MultiStreamer:
                         return wins[0, 0, 0]
 
                     (fb_thunks if self.fused else thunks).append(_warm_tick)
+            if self.fused:
+                groups.append((k, g_thunks, g_sigs))
             if k >= kcap:
                 break
             k = session_bucket(k + 1)  # walk the ladder, not just pow2
@@ -972,23 +994,55 @@ class MultiStreamer:
             for g in pending:
                 float(g)  # force the deferred execution chain behind it
 
-        defer = (background_fallback and self.fused and fb_thunks)
-        if not defer:
+        # split the fused ladder at serve_buckets (progressive warmup)
+        eager_upto = None
+        if serve_buckets is not None:
+            if not isinstance(serve_buckets, int) or serve_buckets < 1:
+                raise ValueError(
+                    f"serve_buckets={serve_buckets!r}: must be a positive "
+                    "int (the session count to warm eagerly)")
+            if self.fused:
+                eager_upto = session_bucket(min(serve_buckets, kcap))
+            else:
+                print("warmup: serve_buckets ignored — the two-dispatch "
+                      "family is the live family and warms eagerly")
+        deferred_groups = []
+        eager_sigs = []
+        for gk, g_thunks, g_sigs in groups:
+            if eager_upto is not None and gk > eager_upto:
+                deferred_groups.append((gk, g_thunks, g_sigs))
+            else:
+                thunks.extend(g_thunks)
+                eager_sigs.extend(g_sigs)
+        defer_fb = bool((background_fallback or deferred_groups)
+                        and self.fused and fb_thunks)
+        if not defer_fb:
             thunks = thunks + fb_thunks
         _run(thunks)
         # every eager thunk demonstrably executed — NOW the signatures warm
-        self._fused_seen.update(warmed_sigs)
-        if defer:
+        self._fused_seen.update(eager_sigs)
+        if deferred_groups or defer_fb:
             import threading
 
             def _bg():
-                try:
-                    _run(fb_thunks)
-                except Exception as e:  # noqa: BLE001 — insurance warming
-                    # must never kill serving; a failed background warm just
-                    # means a watchdog flip pays the lazy compile it always
-                    # tolerated
-                    print(f"background fallback warmup failed: {e!r}")
+                # remaining fused rungs ASCENDING — capacity ramps in the
+                # order real session counts grow; each rung's signatures
+                # commit only after its drain pass, same contract as eager
+                for gk, g_thunks, g_sigs in deferred_groups:
+                    try:
+                        _run(g_thunks)
+                    except Exception as e:  # noqa: BLE001 — ramp warming
+                        # must never kill serving; this rung's first live
+                        # tick pays the lazy compile it already tolerated
+                        print(f"background warmup of session bucket {gk} "
+                              f"failed: {e!r}")
+                        continue
+                    self._fused_seen.update(g_sigs)
+                if defer_fb:
+                    try:
+                        _run(fb_thunks)
+                    except Exception as e:  # noqa: BLE001 — insurance
+                        print(f"background fallback warmup failed: {e!r}")
 
             self._bg_warmer = threading.Thread(
                 target=_bg, name="neurosync-fallback-warmup", daemon=True)

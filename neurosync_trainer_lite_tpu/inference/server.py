@@ -48,7 +48,8 @@ MAX_BODY_BYTES = 1024 * 1024 * 1024
 
 def make_handler(params, cfg: Config, *, max_sessions: int = 8,
                  fused_ticks: bool = True, push_seconds: float | None = None,
-                 audio_format: str = "both", background_warmup: bool = False):
+                 audio_format: str = "both", background_warmup: bool = False,
+                 serve_buckets: int | None = None):
     import numpy as np
 
     from neurosync_trainer_lite_tpu.inference.api import (
@@ -84,9 +85,12 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
             push_formats — set from --audio_format). With
             background_warmup, only the fused (live) family blocks
             startup; the two-dispatch fallback family warms on a daemon
-            thread while traffic runs."""
+            thread while traffic runs. With serve_buckets N, only the
+            session-bucket rungs ≤ bucket(N) block startup and capacity
+            ramps in the background (progressive warmup)."""
             return get_streamer().warmup(
-                background_fallback=background_warmup)
+                background_fallback=background_warmup,
+                serve_buckets=serve_buckets)
 
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -223,13 +227,15 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
 def serve(params, cfg: Config, host: str = "127.0.0.1", port: int = 8200,
           *, server_class=HTTPServer, max_sessions: int = 8,
           fused_ticks: bool = True, push_seconds: float | None = None,
-          audio_format: str = "both", background_warmup: bool = False):
+          audio_format: str = "both", background_warmup: bool = False,
+          serve_buckets: int | None = None):
     httpd = server_class((host, port),
                          make_handler(params, cfg, max_sessions=max_sessions,
                                       fused_ticks=fused_ticks,
                                       push_seconds=push_seconds,
                                       audio_format=audio_format,
-                                      background_warmup=background_warmup))
+                                      background_warmup=background_warmup,
+                                      serve_buckets=serve_buckets))
     return httpd
 
 
@@ -259,6 +265,13 @@ def main(argv=None):
                         "after a stall-watchdog flip — warms on a daemon "
                         "thread while traffic runs (measured: cuts the "
                         "cold time-to-serve, docs/PERF.md)")
+    parser.add_argument("--serve_buckets", type=int, default=None,
+                        help="progressive warmup: block startup only on "
+                        "the session-bucket rungs up to this session "
+                        "count; larger rungs (and the fallback family) "
+                        "warm ascending on a daemon thread while traffic "
+                        "runs — capacity ramps as the warmer climbs "
+                        "(measured time-to-serve numbers: docs/PERF.md r4)")
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip startup pre-compilation (first live "
                         "session then pays the XLA compiles)")
@@ -305,11 +318,14 @@ def main(argv=None):
                   fused_ticks=not args.two_dispatch_ticks,
                   push_seconds=args.push_capacity_s,
                   audio_format=args.audio_format,
-                  background_warmup=args.background_warmup)
+                  background_warmup=args.background_warmup,
+                  serve_buckets=args.serve_buckets)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)
-        print(f"warmed {n} programs")
+        print(f"warmed {n} programs"
+              + (" eagerly; larger session buckets ramp in the background"
+                 if args.serve_buckets else ""))
     print(f"serving audio→blendshapes on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

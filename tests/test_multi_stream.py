@@ -805,3 +805,49 @@ def test_intake_only_ticks_skip_decode(setup, monkeypatch):
     want = single.pop_frames()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
+def test_progressive_warmup_serves_small_buckets_first(setup):
+    """warmup(serve_buckets=N) blocks only on the session-bucket rungs
+    k ≤ bucket(N) — their signatures are watchdog-protected immediately —
+    and ramps the remaining rungs ascending on the daemon thread; once
+    joined, the warmed-signature set equals a full eager warmup's. Sessions
+    opened past the eager rungs before the ramp finishes still serve (the
+    lazy first-use path every unwarmed signature already tolerates)."""
+    cfg, params = setup
+
+    full = _multi(params, cfg, max_sessions=4, fused_decode=True)
+    n_full = full.warmup(warm_fallback=False)
+    full_sigs = set(full._fused_seen)
+
+    ms = _multi(params, cfg, max_sessions=4, fused_decode=True)
+    n_eager = ms.warmup(warm_fallback=False, serve_buckets=1)
+    assert 0 < n_eager < n_full
+    assert set(ms._fused_seen)  # the first rung is committed…
+    assert all(sig[0] <= 1 for sig in ms._fused_seen)  # …and only it
+    assert ms._bg_warmer is not None
+
+    # a 3-session burst outruns the ramp: still serves via the lazy path
+    rng = np.random.default_rng(11)
+    sids = [ms.open() for _ in range(3)]
+    for _ in range(4):
+        for sid in sids:
+            ms.push_audio(sid, (rng.standard_normal(cfg.sr // 2) * 0.4
+                                ).astype(np.float32))
+        ms.tick()
+    for sid in sids:
+        ms.flush(sid)
+        assert ms.pop_frames(sid).shape[1] == cfg.output_dim
+        ms.close(sid)
+
+    # after the ramp joins, coverage equals the full eager warmup
+    assert ms.wait_background_warmup(300.0)
+    assert full_sigs <= set(ms._fused_seen)
+
+    # validation + degenerate cases
+    with pytest.raises(ValueError, match="serve_buckets"):
+        _multi(params, cfg, max_sessions=2,
+               fused_decode=True).warmup(serve_buckets=0)
+    ms2 = _multi(params, cfg, max_sessions=2, fused_decode=False)
+    n2 = ms2.warmup(serve_buckets=1)  # two-dispatch: ignored with a note
+    assert ms2._bg_warmer is None and n2 > 0

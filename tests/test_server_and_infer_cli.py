@@ -268,3 +268,27 @@ def test_single_format_server_rejects_other_format(cfg_params):
         assert post(f"/session/{sid}/close") == {"ok": True}
     finally:
         httpd.shutdown()
+
+
+def test_server_serve_buckets_plumbs_through(cfg_params, monkeypatch):
+    """--serve_buckets / --background_warmup reach MultiStreamer.warmup as
+    serve_buckets= / background_fallback= (plumbing only — the progressive
+    mechanics themselves are pinned in test_multi_stream.py)."""
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
+    from neurosync_trainer_lite_tpu.inference.server import warmup_handler
+
+    cfg, params = cfg_params
+    seen = {}
+
+    def fake_warmup(self, **kw):
+        seen.update(kw)
+        return 7
+
+    monkeypatch.setattr(M.MultiStreamer, "warmup", fake_warmup)
+    httpd = serve(params, cfg, port=0, max_sessions=4,
+                  serve_buckets=2, background_warmup=True)
+    try:
+        assert warmup_handler(httpd) == 7
+        assert seen == {"background_fallback": True, "serve_buckets": 2}
+    finally:
+        httpd.server_close()

@@ -43,6 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sessions", type=int, default=32)
+    ap.add_argument("--serve-buckets", type=int, default=None,
+                    help="progressive warmup: eager rungs ≤ bucket(N)")
     ap.add_argument("--format", default="s16", choices=("s16", "f32", "both"))
     ap.add_argument("--soak-ticks", type=int, default=150)
     ap.add_argument("--live", type=int, default=4,
@@ -65,12 +67,14 @@ def main() -> int:
                        push_formats=fmts)
 
     print(f"cold warmup: max_sessions={args.sessions} formats={fmts} "
-          f"decode_cap={ms.decode_bucket_cap} (background fallback)",
-          flush=True)
+          f"decode_cap={ms.decode_bucket_cap} (background fallback"
+          + (f", serve_buckets={args.serve_buckets}" if args.serve_buckets
+             else "") + ")", flush=True)
     t0 = time.time()
-    n_fused = ms.warmup(background_fallback=True)
+    n_fused = ms.warmup(background_fallback=True,
+                        serve_buckets=args.serve_buckets)
     tts = time.time() - t0
-    print(f"time-to-serve (fused family, {n_fused} programs): {tts:.1f} s",
+    print(f"time-to-serve ({n_fused} eager programs): {tts:.1f} s",
           flush=True)
 
     # churn soak while the daemon warms the fallback family
@@ -101,7 +105,8 @@ def main() -> int:
     print(f"fully warmed (fallback family too): {total:.1f} s "
           f"(bg completed: {bg_done})", flush=True)
 
-    rec = {"sessions": args.sessions, "formats": list(fmts),
+    rec = {"sessions": args.sessions, "serve_buckets": args.serve_buckets,
+           "formats": list(fmts),
            "n_fused_programs": n_fused, "time_to_serve_s": round(tts, 1),
            "total_warm_s": round(total, 1), "soak_tick_ms": soak,
            "bg_completed": bg_done}
