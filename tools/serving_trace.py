@@ -25,6 +25,9 @@ def main():
     p.add_argument("--k", type=int, default=12)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--fused", type=int, default=1)
+    p.add_argument("--format", default="both", choices=("s16", "f32", "both"),
+                   help="push format(s) to warm/use — s16 matches the "
+                   "production single-format deployment and its cache")
     args = p.parse_args()
 
     import numpy as np
@@ -32,10 +35,12 @@ def main():
     from tools._serving_harness import (
         build_streamer, hunt_decode_tick, prime_sessions, window_stride_s)
 
+    fmts = ("f32", "s16") if args.format == "both" else (args.format,)
     # watchdog off (a stall must show in the trace, not auto-recover);
     # fallback family not warmed — it would pollute the traced program set
     ms, cfg, _ = build_streamer(max_sessions=args.k, fused=bool(args.fused),
-                                stall_watchdog_s=None, warm_fallback=False)
+                                stall_watchdog_s=None, warm_fallback=False,
+                                push_formats=fmts)
 
     import jax
 
