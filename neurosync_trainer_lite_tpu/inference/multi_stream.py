@@ -704,7 +704,19 @@ class MultiStreamer:
         first_use = fused and sig not in self._fused_seen
         if fused:
             self._fused_seen.add(sig)
+        # While the background warmup ramp is alive, a warmed tick can
+        # legitimately queue behind one in-flight warmup execution (20-50 s
+        # for a big program through the tunnel) — that is contention, not a
+        # stall of the fused family, so don't let it permanently downgrade
+        # the streamer the ramp is trying to speed up.
+        ramp_alive = self._bg_warmer is not None and self._bg_warmer.is_alive()
         if (fused and not first_use and self.stall_watchdog_s is not None
+                and dt > self.stall_watchdog_s and ramp_alive):
+            print(f"serving tick took {dt:.1f} s (watchdog budget "
+                  f"{self.stall_watchdog_s:.0f} s) during background warmup "
+                  "— attributed to warmup contention, watchdog exempted "
+                  "while the ramp runs")
+        elif (fused and not first_use and self.stall_watchdog_s is not None
                 and dt > self.stall_watchdog_s):
             print(f"serving tick took {dt:.1f} s (watchdog budget "
                   f"{self.stall_watchdog_s:.0f} s) — switching this streamer "
@@ -1019,18 +1031,40 @@ class MultiStreamer:
         if not defer_fb:
             thunks = thunks + fb_thunks
         _run(thunks)
-        # every eager thunk demonstrably executed — NOW the signatures warm
+        # every eager thunk demonstrably executed — NOW the signatures warm.
+        # The frozen snapshot is what warmed EAGERLY (taken before the
+        # background thread can race more commits into _fused_seen) —
+        # tests/operators inspect it to verify the progressive contract.
         self._fused_seen.update(eager_sigs)
+        self.last_eager_sigs = frozenset(eager_sigs)
         if deferred_groups or defer_fb:
             import threading
 
             def _bg():
                 # remaining fused rungs ASCENDING — capacity ramps in the
                 # order real session counts grow; each rung's signatures
-                # commit only after its drain pass, same contract as eager
+                # commit only after its drain pass, same contract as eager.
+                # Each thunk is dispatched AND forced before the next one
+                # starts (_run of a single thunk): executions retire in
+                # dispatch order and a big program's first execution costs
+                # 20-50 s through the tunnel (docs/PERF.md r3), so batching
+                # a whole rung's dispatches would let a live tick's fetch
+                # queue behind the entire rung's deferred-execution backlog;
+                # serializing bounds that queue to at most one warmup
+                # execution (and tick() additionally exempts the watchdog
+                # while this thread is alive).
                 for gk, g_thunks, g_sigs in deferred_groups:
+                    if not self.fused:
+                        # a watchdog flip mid-ramp means the streamer can no
+                        # longer use fused programs — stop spending device
+                        # time on them and go straight to the two-dispatch
+                        # family the live ticks now run on
+                        print("background warmup: fused ticks disabled — "
+                              f"skipping session buckets ≥ {gk}")
+                        break
                     try:
-                        _run(g_thunks)
+                        for f in g_thunks:
+                            _run([f])
                     except Exception as e:  # noqa: BLE001 — ramp warming
                         # must never kill serving; this rung's first live
                         # tick pays the lazy compile it already tolerated
@@ -1040,7 +1074,8 @@ class MultiStreamer:
                     self._fused_seen.update(g_sigs)
                 if defer_fb:
                     try:
-                        _run(fb_thunks)
+                        for f in fb_thunks:
+                            _run([f])
                     except Exception as e:  # noqa: BLE001 — insurance
                         print(f"background fallback warmup failed: {e!r}")
 
@@ -1052,6 +1087,9 @@ class MultiStreamer:
     #: background fallback-warmup thread (None until warmup(...,
     #: background_fallback=True) starts one)
     _bg_warmer = None
+    #: frozen snapshot of the signatures the last warmup() committed
+    #: EAGERLY (before any background ramp) — None until warmup() runs
+    last_eager_sigs = None
 
     def wait_background_warmup(self, timeout: float | None = None) -> bool:
         """Join the background fallback warmer; True when it has finished

@@ -77,6 +77,12 @@ def make_handler(params, cfg: Config, *, max_sessions: int = 8,
         return state["ms"]
 
     class Handler(BaseHTTPRequestHandler):
+        #: expose the lazy streamer accessor for tools/soaks that inspect
+        #: warmup coverage (e.g. last_eager_sigs) — instantiates on call.
+        #: (named differently from the closure: a class-body assignment to
+        #: the same name would shadow the free variable)
+        streamer = staticmethod(get_streamer)
+
         @staticmethod
         def warmup() -> int:
             """Pre-compile the live-session tick/decode programs (see
@@ -265,11 +271,15 @@ def main(argv=None):
                         "after a stall-watchdog flip — warms on a daemon "
                         "thread while traffic runs (measured: cuts the "
                         "cold time-to-serve, docs/PERF.md)")
-    parser.add_argument("--serve_buckets", type=int, default=None,
-                        help="progressive warmup: block startup only on "
-                        "the session-bucket rungs up to this session "
-                        "count; larger rungs (and the fallback family) "
-                        "warm ascending on a daemon thread while traffic "
+    parser.add_argument("--serve_buckets", type=int, default=4,
+                        help="progressive warmup (DEFAULT 4 — measured "
+                        "cold time-to-serve for the 32-stream config "
+                        "1192 s eager vs 138 s progressive, docs/PERF.md; "
+                        "0 restores the full eager warmup): block startup "
+                        "only on the session-bucket rungs up to this "
+                        "session count; larger rungs (and the fallback "
+                        "family) warm ascending on a daemon thread while "
+                        "traffic "
                         "runs — capacity ramps as the warmer climbs "
                         "(measured time-to-serve numbers: docs/PERF.md r4)")
     parser.add_argument("--no_warmup", action="store_true",
@@ -313,19 +323,24 @@ def main(argv=None):
 
     cfg = Config()
     params = load_model(args.model, cfg)
+    # --serve_buckets 0 → eager full warmup (the pre-r5 default);
+    # progressive warmup only applies to the fused family, so don't
+    # claim a ramp when --two_dispatch_ticks warms everything eagerly
+    serve_buckets = args.serve_buckets or None
     httpd = serve(params, cfg, args.host, args.port,
                   max_sessions=args.max_sessions,
                   fused_ticks=not args.two_dispatch_ticks,
                   push_seconds=args.push_capacity_s,
                   audio_format=args.audio_format,
                   background_warmup=args.background_warmup,
-                  serve_buckets=args.serve_buckets)
+                  serve_buckets=serve_buckets)
     if not args.no_warmup:
         print("warming up live-session programs (one-time XLA compiles)…")
         n = warmup_handler(httpd)
+        ramped = bool(serve_buckets) and not args.two_dispatch_ticks
         print(f"warmed {n} programs"
               + (" eagerly; larger session buckets ramp in the background"
-                 if args.serve_buckets else ""))
+                 if ramped else ""))
     print(f"serving audio→blendshapes on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

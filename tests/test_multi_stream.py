@@ -382,6 +382,37 @@ def test_stall_watchdog_exempts_first_use_of_a_program_signature(setup):
     assert ms2.fused is False, "warmed signature must keep full protection"
 
 
+def test_stall_watchdog_exempt_while_background_ramp_alive(setup):
+    """While the progressive-warmup ramp thread is alive, a warmed tick can
+    queue behind one in-flight warmup execution (dispatch-order retirement)
+    — the watchdog must attribute the breach to warmup contention and NOT
+    permanently flip the streamer; once the ramp is done, the same breach
+    flips as usual."""
+    cfg, params = setup
+    rng = np.random.default_rng(13)
+    chunk = (rng.standard_normal(cfg.sr // 2) * 0.4).astype(np.float32)
+
+    class _Ramp:
+        alive = True
+
+        def is_alive(self):
+            return self.alive
+
+    ms = _multi(params, cfg, max_sessions=1, fused_decode=True,
+                stall_watchdog_s=-1.0)
+    ms.warmup(warm_fallback=False)  # signatures pre-marked: no first-use
+    ms._bg_warmer = _Ramp()
+    sid = ms.open()
+    ms.push_audio(sid, chunk)
+    ms.tick()  # breach during the ramp → exempt
+    assert ms.fused is True, "watchdog flipped during the warmup ramp"
+    assert ms.metrics_snapshot()["watchdog_flips"] == 0
+    ms._bg_warmer.alive = False
+    ms.push_audio(sid, chunk)
+    ms.tick()  # ramp done, same breach → flips
+    assert ms.fused is False
+
+
 def test_stall_watchdog_disabled_with_none(setup):
     cfg, params = setup
     ms = _multi(params, cfg, max_sessions=1, fused_decode=True,
@@ -823,8 +854,10 @@ def test_progressive_warmup_serves_small_buckets_first(setup):
     ms = _multi(params, cfg, max_sessions=4, fused_decode=True)
     n_eager = ms.warmup(warm_fallback=False, serve_buckets=1)
     assert 0 < n_eager < n_full
-    assert set(ms._fused_seen)  # the first rung is committed…
-    assert all(sig[0] <= 1 for sig in ms._fused_seen)  # …and only it
+    # assert on the frozen eager snapshot, not the live _fused_seen set —
+    # the background ramp (already running) races commits into the latter
+    assert ms.last_eager_sigs  # the first rung is committed…
+    assert all(sig[0] <= 1 for sig in ms.last_eager_sigs)  # …and only it
     assert ms._bg_warmer is not None
 
     # a 3-session burst outruns the ramp: still serves via the lazy path
