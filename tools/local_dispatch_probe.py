@@ -49,41 +49,81 @@ def tick_cost(k: int, ticks: int, push_s: float) -> dict:
     import jax
 
     from neurosync_trainer_lite_tpu.config import tiny_config
-    from neurosync_trainer_lite_tpu.inference.multi_stream import MultiStreamer
+    from neurosync_trainer_lite_tpu.inference import multi_stream as M
     from neurosync_trainer_lite_tpu.models.seq2seq import init_seq2seq
 
     cfg = tiny_config(hidden_dim=32, n_layers=1, num_heads=2)
     params = init_seq2seq(jax.random.PRNGKey(0), cfg)
-    ms = MultiStreamer(params, cfg, max_sessions=k, max_buffer_seconds=8.0,
-                       push_seconds=push_s)
+    ms = M.MultiStreamer(params, cfg, max_sessions=k, max_buffer_seconds=8.0,
+                         push_seconds=push_s, push_formats=("f32",))
+    # full eager warmup: the host-term measurement must not include XLA
+    # compiles (the r4 probe run skipped this and the decode-bucket ladder
+    # compiled mid-measurement, putting 1.4 s compile spikes in the p95)
+    ms.warmup(serve_buckets=None)
     sids = [ms.open() for _ in range(k)]
     rng = np.random.default_rng(0)
     chunk_n = int(cfg.sr * push_s)
 
-    # warm every program the loop will touch (compiles excluded from timing)
-    for _ in range(8):
-        for sid in sids:
-            ms.push_audio(sid, (rng.standard_normal(chunk_n) * 0.2)
-                          .astype(np.float32))
-        ms.tick()
-        for sid in sids:
-            ms.pop_frames(sid)
+    # Wrap the tick programs so the time INSIDE the jitted calls (forced
+    # with block_until_ready) is attributed separately: on this in-process
+    # CPU backend the frontend/decode math runs on the SAME cores, so a raw
+    # tick wall time would conflate device-substitute compute with the host
+    # orchestration the capacity model needs. host = wall − program.
+    prog_t = [0.0]
 
-    walls = []
-    for _ in range(ticks):
-        for sid in sids:
-            ms.push_audio(sid, (rng.standard_normal(chunk_n) * 0.2)
-                          .astype(np.float32))
-        t0 = time.perf_counter()
-        ms.tick()
-        walls.append(time.perf_counter() - t0)
-        for sid in sids:
-            ms.pop_frames(sid)
-    w = np.array(walls) * 1e3
+    def wrap(fn):
+        def w(*a, **kw):
+            t0 = time.perf_counter()
+            r = jax.block_until_ready(fn(*a, **kw))
+            prog_t[0] += time.perf_counter() - t0
+            return r
+        return w
+
+    orig = (M._tick_fused, M._tick_ring_only, M._tick_program)
+    M._tick_fused = wrap(M._tick_fused)
+    M._tick_ring_only = wrap(M._tick_ring_only)
+    M._tick_program = wrap(M._tick_program)
+    try:
+        for _ in range(8):  # settle the steady-state backlog pattern
+            for sid in sids:
+                ms.push_audio(sid, (rng.standard_normal(chunk_n) * 0.2)
+                              .astype(np.float32))
+            ms.tick()
+            for sid in sids:
+                ms.pop_frames(sid)
+
+        intake, decode, dec_prog = [], [], []
+        for _ in range(ticks):
+            for sid in sids:
+                ms.push_audio(sid, (rng.standard_normal(chunk_n) * 0.2)
+                              .astype(np.float32))
+            prog_t[0] = 0.0
+            t0 = time.perf_counter()
+            out = ms.tick()
+            host = time.perf_counter() - t0 - prog_t[0]
+            # decode ticks finalize ≥1 frame; intake-only ticks just ingest —
+            # the two run different programs and the capacity model uses
+            # separate host terms for them
+            if any(out.values()):
+                decode.append(host)
+                dec_prog.append(prog_t[0])
+            else:
+                intake.append(host)
+            for sid in sids:
+                ms.pop_frames(sid)
+    finally:
+        M._tick_fused, M._tick_ring_only, M._tick_program = orig
+
+    def pct(xs, q):
+        return round(float(np.percentile(np.array(xs) * 1e3, q)), 2)
+
     return {"k": k, "ticks": ticks,
-            "tick_ms_p50": round(float(np.percentile(w, 50)), 2),
-            "tick_ms_p95": round(float(np.percentile(w, 95)), 2),
-            "tick_ms_max": round(float(w.max()), 2)}
+            "intake_ticks": len(intake), "decode_ticks": len(decode),
+            "intake_host_ms_p50": pct(intake, 50) if intake else None,
+            "intake_host_ms_p95": pct(intake, 95) if intake else None,
+            "decode_host_ms_p50": pct(decode, 50) if decode else None,
+            "decode_host_ms_p95": pct(decode, 95) if decode else None,
+            "decode_cpu_prog_ms_p50": pct(dec_prog, 50) if dec_prog else None}
 
 
 def main() -> None:

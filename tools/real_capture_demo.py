@@ -27,6 +27,17 @@ open-source release, training and golden-pair validation share the same
 speech→face statistics (feature math, loss, optimizer working on real
 dynamics), not evidence of generalization. The 10% window-level validation
 split is held out as usual.
+
+r5 addition (--holdout F): a HELD-OUT-IN-TIME split of the same clip —
+the training capture folder gets only the first F of the audio and its
+matching truth rows, and the per-epoch golden-pair validation runs on the
+REMAINING tail the model never trains on (windows cannot cross the
+boundary: the audio files are physically split). This matches the
+reference's own train-on-A/validate-on-B workflow
+(/root/reference/config.py:52-53 names a fixed validation recording
+separate from the dataset/data training folders) at the finest grain the
+single released capture allows, and upgrades the evidence from "learns"
+to "generalizes across time within a speaker/session".
 """
 
 from __future__ import annotations
@@ -40,7 +51,49 @@ import sys
 REFERENCE = "/root/reference/dataset/test_set"
 
 
-def setup(workdir: str, reference: str = REFERENCE) -> None:
+def _split_pair(wav: str, csv: str, frac: float, train_dir: str,
+                val_dir: str) -> None:
+    """Temporal split: first `frac` of (audio, truth rows) into train_dir,
+    the remaining tail into val_dir. The truth CSV is 60 fps; the audio cut
+    lands on the sample matching the frame boundary so the two stay
+    aligned (the pipeline's center-trim absorbs the sub-frame remainder)."""
+    import wave as wavemod
+
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_csv(csv)
+    n_frames = len(df)
+    split_frame = int(n_frames * frac)
+    with wavemod.open(wav, "rb") as w:
+        sr, n_ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    assert width == 2, "reference capture is 16-bit PCM"
+    pcm = np.frombuffer(raw, np.int16).reshape(-1, n_ch)
+    split_sample = int(round(split_frame / 60.0 * sr))
+
+    def write(path, seg, rows):
+        with wavemod.open(os.path.join(path, "audio.wav"), "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(np.ascontiguousarray(seg).tobytes())
+        return rows
+
+    write(train_dir, pcm[:split_sample], None)
+    df.iloc[:split_frame].to_csv(
+        os.path.join(train_dir, "testset_iPhone_cal.csv"), index=False)
+    write(val_dir, pcm[split_sample:], None)
+    df.iloc[split_frame:].to_csv(
+        os.path.join(val_dir, "testset.csv"), index=False)
+    print(f"temporal split at frame {split_frame}/{n_frames} "
+          f"(sample {split_sample}, {split_frame / 60.0:.1f} s): train gets "
+          f"[0, {split_frame / 60.0:.1f}) s, validation gets the held-out "
+          f"[{split_frame / 60.0:.1f}, {n_frames / 60.0:.1f}) s tail")
+
+
+def setup(workdir: str, reference: str = REFERENCE,
+          holdout: float | None = None) -> None:
     wav = os.path.join(reference, "audio.wav")
     csv = os.path.join(reference, "testset.csv")
     if not (os.path.exists(wav) and os.path.exists(csv)):
@@ -50,15 +103,20 @@ def setup(workdir: str, reference: str = REFERENCE) -> None:
     test_set = os.path.join(workdir, "test_set")
     os.makedirs(capture, exist_ok=True)
     os.makedirs(test_set, exist_ok=True)
-    # training capture folder: find_files discovers the facial CSV by the
-    # 'iPhone_cal' filename convention (data/ingest.py; reference:
-    # mov_extraction.py:23); the 44.1 kHz wav is resampled to cfg.sr by the
-    # loader at feature-extraction time
-    shutil.copy(wav, os.path.join(capture, "audio.wav"))
-    shutil.copy(csv, os.path.join(capture, "testset_iPhone_cal.csv"))
-    # validation golden pair (the reference's own validation wiring)
-    shutil.copy(wav, os.path.join(test_set, "audio.wav"))
-    shutil.copy(csv, os.path.join(test_set, "testset.csv"))
+    if holdout is not None:
+        if not 0.0 < holdout < 1.0:
+            sys.exit(f"--holdout {holdout}: must be in (0, 1)")
+        _split_pair(wav, csv, holdout, capture, test_set)
+    else:
+        # training capture folder: find_files discovers the facial CSV by
+        # the 'iPhone_cal' filename convention (data/ingest.py; reference:
+        # mov_extraction.py:23); the 44.1 kHz wav is resampled to cfg.sr by
+        # the loader at feature-extraction time
+        shutil.copy(wav, os.path.join(capture, "audio.wav"))
+        shutil.copy(csv, os.path.join(capture, "testset_iPhone_cal.csv"))
+        # validation golden pair (the reference's own validation wiring)
+        shutil.copy(wav, os.path.join(test_set, "audio.wav"))
+        shutil.copy(csv, os.path.join(test_set, "testset.csv"))
 
     print(f"capture folder ready: {capture}")
     print(f"golden pair ready:    {test_set}")
@@ -112,9 +170,13 @@ if __name__ == "__main__":
     ap.add_argument("--setup", metavar="WORKDIR")
     ap.add_argument("--report", metavar="WORKDIR")
     ap.add_argument("--reference", default=REFERENCE)
+    ap.add_argument("--holdout", type=float, default=None,
+                    help="held-out-in-time split: train on the first F of "
+                    "the clip, validate per-epoch on the remaining tail "
+                    "the model never sees (e.g. 0.8)")
     args = ap.parse_args()
     if args.setup:
-        setup(args.setup, args.reference)
+        setup(args.setup, args.reference, holdout=args.holdout)
     elif args.report:
         report(args.report)
     else:
