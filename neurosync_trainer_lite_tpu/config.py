@@ -74,6 +74,11 @@ class Config:
     smoothness_annealing: bool = False  # cosine-anneal the smoothness weights
     validation_interval: int = 20    # validate every N train steps
     val_split: float = 0.1
+    max_steps_per_epoch: int = 0     # >0: cap each epoch at N optimizer steps
+                                     # (bounded probe/smoke runs on very large
+                                     # datasets — checkpoints/validation still
+                                     # run at the epoch boundary; the LR
+                                     # schedule keeps the full-epoch length)
     grad_accum_steps: int = 1        # >1: split each batch into N sequential
                                      # micro-batches inside the compiled step
                                      # (fp32 grad accumulation, one optimizer

@@ -131,6 +131,13 @@ def train_one_epoch(epoch, state: TrainState, train_view, val_view, cfg: Config,
         batch_step += 1
         n_batches += 1
 
+        if cfg.max_steps_per_epoch > 0 and n_batches >= cfg.max_steps_per_epoch:
+            if verbose:
+                print(f"[Epoch {epoch}] max_steps_per_epoch="
+                      f"{cfg.max_steps_per_epoch} reached — ending epoch "
+                      "early (bounded run)")
+            break
+
         if val_iter is not None and batch_idx % cfg.validation_interval == 0:
             vsrc, vtrg = next_val_batch()
             if cfg.loss_variant == "smoothness" and cfg.smoothness_annealing:

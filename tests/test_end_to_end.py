@@ -77,6 +77,20 @@ def test_train_end_to_end_and_resume(workspace):
     assert os.path.exists(os.path.join(cfg.plots_dir, "loss", "loss_epoch_3.png"))
 
 
+def test_max_steps_per_epoch_bounds_the_epoch(workspace, tmp_path):
+    """max_steps_per_epoch caps optimizer steps per epoch (bounded probe
+    runs on huge datasets) while epoch-boundary artifacts still land."""
+    cfg = make_cfg(workspace, n_epochs=2, max_steps_per_epoch=3,
+                   model_path=str(tmp_path / "out" / "model.pth"),
+                   checkpoint_path=str(tmp_path / "out" / "ck" / "checkpoint"),
+                   plots_dir=str(tmp_path / "plots"))
+    state, batch_step = train_model(cfg, verbose=False)
+    assert batch_step == 2 * 3  # exactly N steps per epoch
+    assert os.path.exists(cfg.checkpoint_path)
+    assert os.path.exists(os.path.join(cfg.plots_dir, "stats",
+                                       "comparison_stats_epoch_2.txt"))
+
+
 def test_missing_validation_assets_warn_loudly(workspace, tmp_path, capsys):
     """A typo'd golden-pair path must not silently produce a run with no
     quality artifacts (VERDICT r1 weak #3)."""

@@ -49,7 +49,8 @@ def main():
                             "attn-fp32-chain", "ln-autodiff", "ffn-autodiff",
                             "unroll-dec-tail", "unroll-remat-head",
                             "sdpa-nonlean", "sdpa-lean-nosplit", "no-opt",
-                            "grads-bf16-stage", "no-gradnorm"),
+                            "grads-bf16-stage", "no-gradnorm",
+                            "ffn-bwd-pallas"),
                    help="ablate/prototype a component (diagnostic only). "
                         "The r3 forward prototypes (ffn-nokeep, "
                         "dropout-regen, mask-lean) SHIPPED as defaults and "
@@ -57,6 +58,12 @@ def main():
                         "identical code became the baseline; ffn-autodiff / "
                         "ln-autodiff / sdpa-nonlean are their reverse "
                         "ablations (docs/PERF.md has the win tables)")
+    p.add_argument("--ffn-bm", type=int, default=256,
+                   help="ffn-bwd-pallas tile rows (per-grid-step "
+                        "latency amortization knob)")
+    p.add_argument("--ffn-bias", type=int, default=1,
+                   help="ffn-bwd-pallas: 0 ablates the in-kernel bias "
+                        "partials (bias grads sum in XLA instead)")
     p.add_argument("--unroll-residents", type=int, default=1,
                    help="Config.unroll_residents (1 = shipped default; 0 "
                         "ablates back to lax.scan-ing resident layers)")
@@ -252,6 +259,18 @@ def main():
         from neurosync_trainer_lite_tpu.models import seq2seq as s2s
         am.multi_head_attention = mha_nosplit
         s2s.multi_head_attention = mha_nosplit
+
+    if args.patch == "ffn-bwd-pallas":
+        # prototype (VERDICT r4 ask #2): route the FFN backward's
+        # dam/mask-apply/bias-grad chain through the fused Pallas kernel
+        # (ops/ffn_bwd_pallas.py) — kills the [B,T,4H] dam intermediate
+        # round-trip (the compare_select block) and the two cotangent
+        # re-reads for db1/db2 (part of convert_reduce)
+        from neurosync_trainer_lite_tpu.models import seq2seq as s2s
+        from neurosync_trainer_lite_tpu.ops import ffn_bwd_pallas as fbp
+        fbp.FFN_BWD_BM = args.ffn_bm
+        fbp.FFN_BWD_WITH_BIAS = bool(args.ffn_bias)
+        s2s._ffn = fbp.ffn_fused
 
     if args.patch == "grads-bf16-stage":
         # prototype (VERDICT r3 weak #1 lever): stage gradients in bf16
